@@ -1,0 +1,181 @@
+"""Conditional Gaussian entropy model.
+
+Device side (JAX): probability/bit estimation and scale->CDF-index mapping,
+all jittable. Host side (numpy): CDF table construction for the rANS coder
+and the encode/decode bridge.
+
+Semantics follow the reference ``GaussianEncoder``
+(``src/modules/entropy/entropy_models.py:252-374``): 256 log-spaced scales
+in [0.11, 64], per-scale PMF support search out to +/-50, erfc-based
+training probability, and negative index = skip (force-zero).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import special as sp_special
+
+from ..ops import pmf_to_quantized_cdf
+from .bound import lower_bound
+
+SCALE_MIN = 0.11
+SCALE_MAX = 64.0
+SCALE_LEVELS = 256
+LOG_SCALE_MIN = math.log(SCALE_MIN)
+LOG_SCALE_MAX = math.log(SCALE_MAX)
+LOG_SCALE_STEP = (LOG_SCALE_MAX - LOG_SCALE_MIN) / (SCALE_LEVELS - 1)
+
+
+def scale_table(dtype=np.float32) -> np.ndarray:
+    return np.exp(np.linspace(LOG_SCALE_MIN, LOG_SCALE_MAX, SCALE_LEVELS)).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Device-side (jittable)
+# ---------------------------------------------------------------------------
+
+def gaussian_prob(values, scales):
+    """P(round(v) | N(0, scale)) via the complementary error function.
+
+    Training-time estimator; mirrors ``get_gaussian_prob``
+    (entropy_models.py:277-295) including the |v| symmetry trick.
+    """
+    const = -(2 ** -0.5)
+    scales = lower_bound(scales, 0.11)
+    values = jnp.abs(values)
+    upper = jax.scipy.special.erfc(const * ((0.5 - values) / scales))
+    lower = jax.scipy.special.erfc(const * ((-0.5 - values) / scales))
+    return lower_bound(0.5 * (upper - lower), 1e-9)
+
+
+def laplace_prob(values, scales):
+    scales = lower_bound(scales, 0.01)
+
+    def _cdf2(inputs):
+        return jnp.sign(inputs) * (1.0 - jnp.exp(-jnp.abs(inputs)))
+
+    upper = _cdf2((values + 0.5) / scales)
+    lower = _cdf2((values - 0.5) / scales)
+    return lower_bound(0.5 * (upper - lower), 1e-9)
+
+
+def probs_to_bits(probs):
+    bits = -jnp.log(probs + 1e-5) / math.log(2.0)
+    return lower_bound(bits, 0.0)
+
+
+def gaussian_bits(y, sigma, training: bool = True):
+    """Bits to code y under N(0, sigma); eval path uses the exact CDF diff."""
+    if training:
+        probs = gaussian_prob(y, sigma)
+    else:
+        sigma = jnp.clip(sigma, 1e-5, 1e10)
+        const = 1.0 / (sigma * np.sqrt(2.0))
+        upper = 0.5 * (1.0 + jax.scipy.special.erf((y + 0.5) * const))
+        lower = 0.5 * (1.0 + jax.scipy.special.erf((y - 0.5) * const))
+        probs = upper - lower
+    return probs_to_bits(probs)
+
+
+def build_indexes(scales, skip_thres=None):
+    """Map sigma -> scale-table index; < skip_thres -> -1 (skip symbol)."""
+    safe = jnp.maximum(scales, 1e-5)
+    idx = (jnp.log(safe) - LOG_SCALE_MIN) / LOG_SCALE_STEP
+    idx = jnp.clip(idx, 0, SCALE_LEVELS - 1).astype(jnp.int32)
+    if skip_thres is not None:
+        idx = jnp.where(scales < skip_thres, -1, idx)
+    return idx
+
+
+# ---------------------------------------------------------------------------
+# Host-side: CDF tables + coder bridge
+# ---------------------------------------------------------------------------
+
+def _normal_cdf(x: np.ndarray, sigma: np.ndarray) -> np.ndarray:
+    return 0.5 * (1.0 + sp_special.erf(x / (sigma * np.sqrt(2.0))))
+
+
+def build_gaussian_cdf_table(precision: int = 16):
+    """Quantized CDF bank for the 256-entry scale table.
+
+    Mirrors ``GaussianEncoder.update`` (entropy_models.py:313-353): per-scale
+    support half-width = smallest i in [2, 50] with CDF(i) > 0.9999; PMF over
+    [-c, c] plus a tail bucket of 2*CDF(-c-0.5).
+
+    Returns (quantized_cdf int32 [256, max_len+2], cdf_length int32, offset
+    int32).
+    """
+    scales = scale_table(np.float64)
+    centers = np.full(SCALE_LEVELS, 50, dtype=np.int64)
+    for i in range(50, 1, -1):
+        probs = _normal_cdf(np.float64(i), scales)
+        centers = np.where(probs > 0.9999, i, centers)
+    pmf_length = 2 * centers + 1
+    max_length = int(pmf_length.max())
+
+    samples = np.arange(max_length, dtype=np.float64)[None, :] - centers[:, None]
+    sig = scales[:, None]
+    upper = _normal_cdf(samples + 0.5, sig)
+    lower = _normal_cdf(samples - 0.5, sig)
+    pmf = (upper - lower).astype(np.float32)
+    tail_mass = (2.0 * lower[:, :1]).astype(np.float32)
+
+    quantized = np.zeros((SCALE_LEVELS, max_length + 2), dtype=np.int32)
+    for i in range(SCALE_LEVELS):
+        row_pmf = np.concatenate([pmf[i, :pmf_length[i]], tail_mass[i]])
+        cdf = pmf_to_quantized_cdf(row_pmf, precision)
+        quantized[i, :len(cdf)] = cdf
+    return quantized, (pmf_length + 2).astype(np.int32), (-centers).astype(np.int32)
+
+
+class GaussianConditionalCoder:
+    """Host bridge: registers CDFs with an EntropyCoder, encodes/decodes."""
+
+    def __init__(self):
+        self.entropy_coder = None
+        self.cdf_group_index = None
+        self._quantized_cdf = None
+        self._cdf_length = None
+        self._offset = None
+
+    def update(self, force: bool = False, entropy_coder=None):
+        assert entropy_coder is not None
+        self.entropy_coder = entropy_coder
+        if not force and self._offset is not None:
+            return
+        self._quantized_cdf, self._cdf_length, self._offset = (
+            build_gaussian_cdf_table())
+        self.cdf_group_index = self.entropy_coder.add_cdf(
+            self._quantized_cdf, self._cdf_length, self._offset)
+
+    def get_cdf_info(self):
+        return self._quantized_cdf, self._cdf_length, self._offset
+
+    def set_cdf_info(self, quantized_cdf, cdf_length, offset):
+        self._quantized_cdf = np.asarray(quantized_cdf, np.int32)
+        self._cdf_length = np.asarray(cdf_length, np.int32).reshape(-1)
+        self._offset = np.asarray(offset, np.int32).reshape(-1)
+
+    @staticmethod
+    def _indexes_np(scales: np.ndarray, skip_thres=None) -> np.ndarray:
+        safe = np.maximum(scales, 1e-5)
+        idx = (np.log(safe) - LOG_SCALE_MIN) / LOG_SCALE_STEP
+        idx = np.clip(idx, 0, SCALE_LEVELS - 1).astype(np.int32)
+        if skip_thres is not None:
+            idx = np.where(scales < skip_thres, -1, idx)
+        return idx
+
+    def encode(self, symbols: np.ndarray, scales: np.ndarray, skip_thres=None):
+        indexes = self._indexes_np(np.asarray(scales), skip_thres)
+        self.entropy_coder.encode_with_indexes(
+            np.asarray(symbols), indexes, self.cdf_group_index)
+
+    def decode_stream(self, scales: np.ndarray, skip_thres=None) -> np.ndarray:
+        scales = np.asarray(scales)
+        indexes = self._indexes_np(scales, skip_thres)
+        vals = self.entropy_coder.decode_stream(indexes, self.cdf_group_index)
+        return vals.reshape(scales.shape).astype(np.float32)

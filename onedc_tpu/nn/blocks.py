@@ -1,0 +1,257 @@
+"""Core conv building blocks (Flax, NHWC).
+
+TPU-native re-implementations of the reference block vocabulary:
+- DepthConv / ConvFFN3 / DepthConvBlock4 (ref ``src/modules/dcvc.py:242-266,
+  353-368,424-433``)
+- ResidualBlockUpsample with 1x1 sub-pixel upsampling (``dcvc.py:183-205``)
+- VQGAN-style GroupNorm ResnetBlock + single-head AttnBlock
+  (``src/modules/vqgan/blocks.py:15-107``) — including the reference's
+  shortcut quirk: when in/out channels differ, ``nin_shortcut`` is applied
+  to the *transformed* tensor, not the residual input (blocks.py:48-50).
+  We keep that behavior for checkpoint parity.
+
+All convs carry explicit names so the torch->jax weight mapper stays
+mechanical.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Depth-to-space matching torch.nn.PixelShuffle channel ordering.
+
+    Torch PixelShuffle on NCHW with C = C_out*r*r maps channel index
+    c_out*r*r + dy*r + dx to output (c_out, y*r+dy, x*r+dx). In NHWC we
+    reshape the last dim to (C_out, r, r) and interleave.
+    """
+    b, h, w, c = x.shape
+    c_out = c // (r * r)
+    x = x.reshape(b, h, w, c_out, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # b, h, r(dy), w, r(dx), c_out
+    return x.reshape(b, h * r, w * r, c_out)
+
+
+class Conv(nn.Module):
+    """Thin Conv wrapper with torch-compatible defaults."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    groups: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        pad = (self.kernel - 1) // 2
+        return nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            name="conv",
+        )(x)
+
+
+def leaky_relu(x, slope):
+    return jax.nn.leaky_relu(x, negative_slope=slope)
+
+
+class DepthConv(nn.Module):
+    """1x1 -> LeakyReLU -> depthwise 3x3 -> 1x1, residual (dcvc.py:242-266)."""
+
+    in_ch: int
+    out_ch: int
+    slope: float = 0.01
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        if self.in_ch != self.out_ch:
+            identity = nn.Conv(self.out_ch, (1, 1), name="adaptor")(x)
+        out = nn.Conv(self.in_ch, (1, 1), name="conv1_0")(x)
+        out = leaky_relu(out, self.slope)
+        out = nn.Conv(self.in_ch, (3, 3), padding=1,
+                      feature_group_count=self.in_ch, name="depth_conv")(out)
+        out = nn.Conv(self.out_ch, (1, 1), name="conv2")(out)
+        return out + identity
+
+
+class ConvFFN3(nn.Module):
+    """Gated dual-slope FFN (dcvc.py:353-368)."""
+
+    in_ch: int
+
+    @nn.compact
+    def __call__(self, x):
+        internal = self.in_ch * 2
+        out = nn.Conv(internal * 2, (1, 1), name="conv")(x)
+        x1, x2 = jnp.split(out, 2, axis=-1)
+        out = leaky_relu(x1, 0.1) + leaky_relu(x2, 0.01)
+        return x + nn.Conv(self.in_ch, (1, 1), name="conv_out")(out)
+
+
+class DepthConvBlock4(nn.Module):
+    """DepthConv + ConvFFN3 (dcvc.py:424-433)."""
+
+    in_ch: int
+    out_ch: int
+    slope_depth_conv: float = 0.01
+
+    @nn.compact
+    def __call__(self, x):
+        x = DepthConv(self.in_ch, self.out_ch, self.slope_depth_conv,
+                      name="dc")(x)
+        return ConvFFN3(self.out_ch, name="ffn")(x)
+
+
+class SubpelConv1x1(nn.Module):
+    """1x1 conv to r^2*out channels + pixel shuffle (dcvc.py:118-123)."""
+
+    out_ch: int
+    r: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.out_ch * self.r * self.r, (1, 1), name="conv")(x)
+        return pixel_shuffle(x, self.r)
+
+
+class ResidualBlockUpsample(nn.Module):
+    """Subpel up + conv3x3 with a parallel subpel shortcut (dcvc.py:183-205)."""
+
+    in_ch: int
+    out_ch: int
+    upsample: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        out = SubpelConv1x1(self.out_ch, self.upsample, name="subpel_conv")(x)
+        out = leaky_relu(out, 0.01)
+        out = nn.Conv(self.out_ch, (3, 3), padding=1, name="conv")(out)
+        out = leaky_relu(out, 0.1)
+        identity = SubpelConv1x1(self.out_ch, self.upsample, name="upsample")(x)
+        return out + identity
+
+
+def group_norm(x, scale, bias, num_groups=32, eps=1e-6):
+    """GroupNorm over NHWC with torch grouping semantics."""
+    b, h, w, c = x.shape
+    g = num_groups
+    xg = x.reshape(b, h, w, g, c // g).astype(jnp.float32)
+    mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+    var = xg.var(axis=(1, 2, 4), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    xn = xg.reshape(b, h, w, c).astype(x.dtype)
+    return xn * scale + bias
+
+
+class GroupNorm(nn.Module):
+    num_groups: int = 32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return group_norm(x, scale, bias, self.num_groups, self.eps)
+
+
+class ResnetBlockVQ(nn.Module):
+    """VQGAN-style resnet block (vqgan/blocks.py:15-52, encoder_unet.py:14-51).
+
+    Faithfully keeps the reference's shortcut quirk: with channel change the
+    1x1 ``nin_shortcut`` is applied to the transformed branch output.
+    """
+
+    in_ch: int
+    out_ch: Optional[int] = None
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.in_ch if self.out_ch is None else self.out_ch
+        residual = x
+        h = GroupNorm(32, self.eps, name="norm1")(x)
+        h = jax.nn.silu(h)
+        h = nn.Conv(out_ch, (3, 3), padding=1, use_bias=False, name="conv1")(h)
+        h = GroupNorm(32, self.eps, name="norm2")(h)
+        h = jax.nn.silu(h)
+        h = nn.Conv(out_ch, (3, 3), padding=1, use_bias=False, name="conv2")(h)
+        if self.in_ch != out_ch:
+            residual = nn.Conv(out_ch, (1, 1), use_bias=False,
+                               name="nin_shortcut")(h)
+        return h + residual
+
+
+class AttnBlockVQ(nn.Module):
+    """Single-head full self-attention over the spatial grid
+    (vqgan/blocks.py:55-107). Query/key/value/proj are 1x1 convs.
+    """
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        hn = GroupNorm(32, 1e-6, name="norm")(x)
+        q = nn.Conv(c, (1, 1), name="q")(hn).reshape(b, h * w, c)
+        k = nn.Conv(c, (1, 1), name="k")(hn).reshape(b, h * w, c)
+        v = nn.Conv(c, (1, 1), name="v")(hn).reshape(b, h * w, c)
+        attn = jnp.einsum("bqc,bkc->bqk", q, k,
+                          preferred_element_type=jnp.float32)
+        attn = attn * (c ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, h, w, c)
+        out = nn.Conv(c, (1, 1), name="proj_out")(out)
+        return x + out
+
+
+class ResnetAttnGroup(nn.Module):
+    """`res_num` resnet blocks followed by `attn_num` attention blocks."""
+
+    channels: int
+    res_num: int
+    attn_num: int
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.res_num):
+            x = ResnetBlockVQ(self.channels, name=f"res{i}")(x)
+        for i in range(self.attn_num):
+            x = AttnBlockVQ(self.channels, name=f"attn{i}")(x)
+        return x
+
+
+class BottleneckGroup(nn.Module):
+    """Resnet-Attn-Resnet bottleneck (codec_module.py:43-48)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = ResnetBlockVQ(self.channels, name="res0")(x)
+        x = AttnBlockVQ(self.channels, name="attn")(x)
+        x = ResnetBlockVQ(self.channels, name="res1")(x)
+        return x
+
+
+class UpsampleGroup(nn.Module):
+    """1x1 conv to 4x ch, pixel shuffle x2, 3x3 conv (codec_module.py:32-40)."""
+
+    in_ch: int
+    out_ch: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.in_ch if self.out_ch is None else self.out_ch
+        x = nn.Conv(self.in_ch * 4, (1, 1), name="conv_expand")(x)
+        x = pixel_shuffle(x, 2)
+        return nn.Conv(out_ch, (3, 3), padding=1, name="conv_out")(x)
