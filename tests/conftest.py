@@ -17,10 +17,30 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Op-by-op dispatch goes through a remote compile service in this harness;
+# cache compiled executables on disk so repeat runs are fast, and prefer
+# jitted init/apply in tests (see `jit_init` / `jit_apply`).
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# This platform's default conv/matmul precision is bf16-like (~6e-3 error vs
+# torch f32); parity tests need true f32 accumulation. Production code picks
+# its own precision (bf16 on the MXU) explicitly.
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def jit_init(module, *args, **kwargs):
+    return jax.jit(module.init)(*args, **kwargs)
+
+
+def jit_apply(module, params, *args, **kwargs):
+    return jax.jit(module.apply)(params, *args, **kwargs)
