@@ -1,0 +1,143 @@
+"""Inference CLI for the lambda-family models: per-image encode -> .bin ->
+decode -> PNG with bpp accounting.
+
+Counterpart of the reference ``src/inference.py`` (Evaluator): same
+public flow — build model, ``update(force=True)`` CDF tables, loop a folder
+of images, write ``.bin`` + reconstruction, emit per-image CSV + summary —
+re-hosted on the JAX runtime. ``--decoder_only`` decodes a pre-written
+``.bin`` in a fresh process, proving the bitstream alone suffices
+(ref src/inference.py:102-108,144-146).
+
+Usage:
+  python -m onedc_tpu.eval.inference --config configs/inference.yaml \
+      [key.path=value ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, load_config
+from ..data.datasets import ImageFolderDataset, save_image
+from ..models.onedc import OneDC, OneDCRuntime
+from ..utils.checkpoint import load_safetensors
+from ..utils.logging import AvgDict, get_logger
+
+log = get_logger("onedc_tpu.inference")
+
+
+def build_model(cfg: Config):
+    model_kwargs = dict(cfg.get("model", {}))
+    return OneDC(**model_kwargs)
+
+
+def load_params(model: OneDC, cfg: Config):
+    """Init abstract params, then fill from checkpoint(s) if provided.
+
+    ``ckpt`` may point at a safetensors file with the full param tree, or
+    be absent (random init — smoke/benchmark mode only).
+    """
+    key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = jax.jit(lambda x: model.init({"params": key}, x))(img)
+    ckpt = cfg.get("ckpt")
+    if ckpt:
+        log.info("loading params from %s", ckpt)
+        loaded = load_safetensors(ckpt)
+        params = jax.tree_util.tree_map(
+            lambda ref, new: jnp.asarray(new).astype(ref.dtype),
+            params, loaded)
+    else:
+        log.warning("no ckpt given: RANDOM INIT (smoke mode)")
+    return params
+
+
+class Evaluator:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        self.params = load_params(self.model, cfg)
+        self.runtime = OneDCRuntime(self.model, self.params)
+        self.runtime.update(force=True)  # CDF build (ref inference.py:72)
+        self.out_dir = Path(cfg.get("output_path", "outputs/inference"))
+        (self.out_dir / "bin").mkdir(parents=True, exist_ok=True)
+        (self.out_dir / "recon").mkdir(parents=True, exist_ok=True)
+
+    def evaluate(self):
+        cfg = self.cfg
+        ds = ImageFolderDataset(cfg.dataset_path)
+        assert len(ds), f"no images under {cfg.dataset_path}"
+        rows = []
+        avg = AvgDict()
+        for i in range(len(ds)):
+            item = ds[i]
+            name = item["name"]
+            img = jnp.asarray(item["image"])[None]
+            bin_path = self.out_dir / "bin" / f"{name}.bin"
+
+            t0 = time.perf_counter()
+            _, bpp = self.runtime.encode(img, fp=str(bin_path))
+            t_enc = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            recon = self.runtime.decode(fp=str(bin_path))
+            jax.block_until_ready(recon)
+            t_dec = time.perf_counter() - t0
+
+            save_image(np.asarray(recon[0]),
+                       self.out_dir / "recon" / f"{name}.png")
+            row = {"name": name, **bpp, "enc_s": t_enc, "dec_s": t_dec}
+            rows.append(row)
+            avg.update({k: v for k, v in row.items() if k != "name"})
+            log.info("%s bpp=%.4f (y=%.4f z=%.4f) enc=%.2fs dec=%.2fs",
+                     name, bpp["bpp"], bpp["bpp_y"], bpp["bpp_z"],
+                     t_enc, t_dec)
+
+        self._write_reports(rows, avg.mean())
+        return avg.mean()
+
+    def decode_only(self, bin_path):
+        """Decode an existing .bin with no encoder state (ref --decoder_only)."""
+        bin_path = Path(bin_path)
+        bins = ([bin_path] if bin_path.is_file()
+                else sorted(bin_path.glob("*.bin")))
+        for b in bins:
+            recon = self.runtime.decode(fp=str(b))
+            out = self.out_dir / "recon" / f"{b.stem}.png"
+            save_image(np.asarray(recon[0]), out)
+            log.info("decoded %s -> %s", b.name, out)
+
+    def _write_reports(self, rows, summary):
+        import pandas as pd
+        detail = pd.DataFrame(rows)
+        detail.to_csv(self.out_dir / "bpp_detail.csv", index=False)
+        pd.DataFrame([summary]).to_csv(self.out_dir / "bpp_summary.csv",
+                                       index=False)
+        log.info("summary: %s", {k: round(v, 5) for k, v in summary.items()})
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--decoder_only", action="store_true")
+    parser.add_argument("--decoder_bin_path", default=None)
+    args, overrides = parser.parse_known_args(argv)
+    cfg = load_config(args.config, overrides)
+
+    ev = Evaluator(cfg)
+    if args.decoder_only:
+        assert args.decoder_bin_path, "--decoder_bin_path required"
+        ev.decode_only(args.decoder_bin_path)
+    else:
+        ev.evaluate()
+
+
+if __name__ == "__main__":
+    main()

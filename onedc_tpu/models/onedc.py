@@ -1,0 +1,231 @@
+"""OneDC composite model: latent codec + one-step SD UNet + VAE.
+
+Equivalent of the reference ``SD15_1step_codec_stage1``
+(``src/models/sd15_onedc_codec_stage1/model_sd15_with_codec_stage1.py``):
+
+- training forward: image -> VAE latent (frozen) -> codec RD forward ->
+  one-step UNet -> x0 -> VAE decode -> predicted image (+ RD stats)
+- encode: pad to x64 (replicate), VAE-encode the cond latent, codec encode
+- decode: codec decode -> UNet one step at t=999 -> x0 -> VAE decode ->
+  unpad
+
+All device work is pure Flax; the bitstream paths live in
+``OneDCRuntime`` below (wrapping ``CodecRuntime``).
+
+TPU-first deviations from the reference, by design:
+- NHWC layouts, one fused jit program per stage (no eval-mode Python loops)
+- x0 recovery in f32 instead of f64 (see ``onedc_tpu/nn/diffusion.py``)
+- VAE encode uses the distribution mean by default (deterministic encode);
+  pass ``sample_posterior=True`` + rng for the reference's sampling
+  behavior (model_..._stage1.py:193 uses .sample()).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy.framing import get_padding_size
+from ..nn.diffusion import get_x0_from_noise, make_alphas_cumprod
+from ..nn.unet_sd import SD15CodecUNet
+from ..nn.vae import AutoencoderKL
+from .codec import LatentCodec
+from .runtime import CodecRuntime
+
+
+class OneDC(nn.Module):
+    """Composite device model. Submodules: vae / unet / codec."""
+
+    # codec config (ref configs/...stage1 yaml)
+    internal_ch: int = 512
+    bottleneck_ch: int = 128
+    unet_ch_config: Sequence[int] = (512, 768, 768)
+    z_fsq_levels: Sequence[int] = (4, 4, 4, 4, 4, 4, 4)
+    z_only: bool = False
+    force_zero_thres: Optional[float] = None
+    # generator config
+    ctrl_ch: int = 320
+    vae_ch: int = 4
+    sd_block_channels: Sequence[int] = (320, 640, 1280, 1280)
+    context_dim: int = 768
+    # vae config (SD2.1 VAE)
+    vae_block_channels: Sequence[int] = (128, 256, 512, 512)
+    vae_attn_patch: int = 16
+    vae_scaling_factor: float = 0.18215
+    conditioning_timestep: int = 999
+    num_train_timesteps: int = 1000
+
+    def setup(self):
+        self.vae = AutoencoderKL(self.vae_block_channels, self.vae_ch,
+                                 self.vae_attn_patch, self.vae_scaling_factor)
+        self.unet = SD15CodecUNet(
+            in_ch=self.ctrl_ch, out_ch=self.vae_ch, vae_ch=self.vae_ch,
+            block_channels=self.sd_block_channels,
+            context_dim=self.context_dim)
+        self.codec = LatentCodec(
+            cond_ch=self.vae_ch, ctrl_ch=self.ctrl_ch,
+            internal_ch=self.internal_ch, bottleneck_ch=self.bottleneck_ch,
+            unet_ch_config=self.unet_ch_config,
+            z_fsq_levels=self.z_fsq_levels, z_only=self.z_only,
+            force_zero_thres=self.force_zero_thres)
+        self.alphas_cumprod = make_alphas_cumprod(self.num_train_timesteps)
+
+    # -- VAE helpers (ref model_..._stage1.py:184-195) ----------------------
+
+    def vae_encode_image(self, image, rng=None, sample_posterior=False):
+        mean, logvar = self.vae.encode(image)
+        if sample_posterior and rng is not None:
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                rng, mean.shape, mean.dtype)
+        else:
+            z = mean
+        return jax.lax.stop_gradient(z * self.vae_scaling_factor)
+
+    def vae_decode_image(self, latents):
+        return self.vae.decode(latents / self.vae_scaling_factor)
+
+    # -- one-step generation -------------------------------------------------
+
+    def generate(self, x_hat, y_semantic):
+        """Control tensor + semantic tokens -> predicted image in [-1,1].
+
+        The UNet runs one step at t=999; x0 is recovered from the
+        vae_reduction pseudo-latent (ref model_..._stage1.py:312-324).
+        """
+        b = x_hat.shape[0]
+        if y_semantic.ndim == 4:  # (B,H,W,C) -> (B, HW, C) cross-attn tokens
+            tokens = y_semantic.reshape(b, -1, y_semantic.shape[-1])
+        else:
+            tokens = y_semantic
+        t = jnp.full((b,), self.conditioning_timestep, jnp.int32)
+        eps, reduced = self.unet(x_hat, t, tokens)
+        x0 = get_x0_from_noise(reduced, eps, self.alphas_cumprod, t)
+        return self.vae_decode_image(x0), x0
+
+    # -- training forward (ref model_..._stage1.py:233-272) ------------------
+
+    def __call__(self, image, training: bool = False,
+                 noise_rng: Optional[jax.Array] = None,
+                 fix_encoder: bool = False) -> Tuple[Dict[str, Any], jnp.ndarray]:
+        x_latent = self.vae_encode_image(image)
+        enc_dict = self.codec(image, x_latent, training=training,
+                              noise_rng=noise_rng)
+        pred_image, x0 = self.generate(enc_dict["x_hat"],
+                                       enc_dict["y_semantic"])
+        enc_dict["x_latent"] = x_latent
+        enc_dict["x_latent_recon"] = x0
+        return enc_dict, pred_image
+
+    # -- encode/decode device halves ----------------------------------------
+
+    def encode_device(self, image_padded):
+        """VAE cond + codec compress arrays, one fused program."""
+        x_latent = self.vae_encode_image(image_padded)
+        return self.codec.compress(image_padded, x_latent)
+
+    def codec_decompress_begin(self, z_indices):
+        return self.codec.decompress_begin(z_indices)
+
+    def codec_decompress_update(self, step, y_q_r, means, y_hat, common):
+        return self.codec.decompress_update(step, y_q_r, means, y_hat, common)
+
+    def decode_device(self, y_hat, z_semantic):
+        """y_hat + z_semantic -> final image, one fused program."""
+        x_hat, y_semantic = self.codec.decompress_finish(y_hat, z_semantic)
+        pred_image, _ = self.generate(x_hat, y_semantic)
+        return pred_image
+
+    def decode_device_z_only(self, z_indices):
+        x_hat, y_semantic = self.codec.decompress_z_only(z_indices)
+        pred_image, _ = self.generate(x_hat, y_semantic)
+        return pred_image
+
+
+class OneDCRuntime:
+    """Host orchestration: padding, bitstream, jit cache.
+
+    API mirrors the reference top-level model: ``encode(image, fp)`` ->
+    (stream, bpp_dict); ``decode(fp|stream)`` -> image (unpadded, [-1,1]).
+    Images are NHWC jnp arrays in [-1, 1].
+    """
+
+    def __init__(self, model: OneDC, params):
+        self.model = model
+        self.params = params
+        codec_def = LatentCodec(
+            cond_ch=model.vae_ch, ctrl_ch=model.ctrl_ch,
+            internal_ch=model.internal_ch,
+            bottleneck_ch=model.bottleneck_ch,
+            unet_ch_config=model.unet_ch_config,
+            z_fsq_levels=model.z_fsq_levels, z_only=model.z_only,
+            force_zero_thres=model.force_zero_thres)
+        # reuse CodecRuntime's entropy-coder machinery with our params
+        # scoped to the codec submodule
+        self._codec_rt = CodecRuntime(
+            codec_def, {"params": params["params"]["codec"]})
+        self.ds = codec_def.ds
+
+        self._encode_dev = jax.jit(lambda p, x: model.apply(
+            p, x, method=model.encode_device))
+        self._decode_dev = jax.jit(lambda p, yh, zs: model.apply(
+            p, yh, zs, method=model.decode_device))
+        self._decode_z_only = jax.jit(lambda p, zi: model.apply(
+            p, zi, method=model.decode_device_z_only))
+
+    def update(self, force: bool = False):
+        self._codec_rt.update(force)
+
+    @staticmethod
+    def _pad_replicate(image, pad):
+        pl, pr, pt, pb = pad
+        return jnp.pad(image, ((0, 0), (pt, pb), (pl, pr), (0, 0)),
+                       mode="edge")
+
+    def encode(self, image, fp=None):
+        """image (1,H,W,3) in [-1,1] -> (stream bytes, bpp dict)."""
+        _, h, w, _ = image.shape
+        pad = get_padding_size(h, w, self.ds)
+        image_padded = self._pad_replicate(image, pad)
+        out = self._encode_dev(self.params, image_padded)
+
+        rt = self._codec_rt
+        if self.model.z_only:
+            return rt.encode_z_only(out["z_indices"], w, h, fp=fp)
+        return rt.write_streams(out, w, h, fp)
+
+    def decode(self, fp=None, stream: Optional[bytes] = None):
+        """Stream/file -> reconstructed image (1,H,W,3) in [-1,1]."""
+        from ..entropy.framing import decode_i, read_from_file
+        assert fp or stream
+        data = stream if stream is not None else read_from_file(fp)
+        rt = self._codec_rt
+        dec = decode_i(data, rt.fsq.index_bits, self.ds)
+        zh, zw = dec["pad_height"] // self.ds, dec["pad_width"] // self.ds
+        z_indices = jnp.asarray(rt.fsq.unpack_indices(
+            dec["bit_stream_z"], zh * zw).reshape(1, zh, zw))
+
+        if self.model.z_only:
+            pred = self._decode_z_only(self.params, z_indices)
+        else:
+            assert rt.entropy_coder is not None, "call update() first"
+            rt.entropy_coder.set_stream(dec["bit_stream_y"])
+            thres = self.model.force_zero_thres
+            st = rt._begin(rt.params, z_indices)
+            y_hat, means, common = st["y_hat"], st["means"], st["common"]
+            scales_r = st["scales_r"]
+            for step in range(4):
+                y_q_r = rt.gaussian_coder.decode_stream(
+                    np.asarray(scales_r), skip_thres=thres)
+                nxt = rt._update[step](rt.params, jnp.asarray(y_q_r),
+                                       means, y_hat, common)
+                y_hat, means, scales_r = (nxt["y_hat"], nxt["means"],
+                                          nxt["scales_r"])
+            pred = self._decode_dev(self.params, y_hat, st["z_semantic"])
+
+        pl, pr, pt, pb = dec["pad_tuple"]
+        h, w = dec["pad_height"] - pt - pb, dec["pad_width"] - pl - pr
+        return pred[:, pt:pt + h, pl:pl + w, :]

@@ -1,0 +1,179 @@
+"""Host-side codec runtime: bitstream encode/decode orchestration.
+
+Equivalent of the reference's ``IntraNoAR.encode/decode`` driver logic
+(``codec_module.py:316-454``) with the TPU split: all NN work happens in a
+handful of jitted device programs (compiled once per padded shape), and the
+host only runs the rANS coder and byte framing.
+
+Decode interleaving: the four-part prior forces 4 host<->device round trips
+(rANS decode of step i feeds the prior net of step i+1). Each device step is
+a single fused XLA program; cross-image batching amortizes the latency (see
+SURVEY.md section 7.6).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy.coder import EntropyCoder
+from ..entropy.framing import (
+    decode_i,
+    encode_i,
+    filesize,
+    read_from_file,
+    write_to_file,
+)
+from ..entropy.gaussian import GaussianConditionalCoder
+from .codec import LatentCodec
+
+
+class CodecRuntime:
+    """Owns (module, params) plus the entropy-coder host state."""
+
+    def __init__(self, codec: LatentCodec, params):
+        self.codec = codec
+        self.params = params
+        self.entropy_coder: Optional[EntropyCoder] = None
+        self.gaussian_coder = GaussianConditionalCoder()
+        # FSQ helpers live on the module definition (stateless)
+        from ..nn.fsq import FSQ
+        self.fsq = FSQ(codec.z_fsq_levels)
+        self.ds = codec.ds
+
+        self._compress = jax.jit(
+            lambda p, x, cond: codec.apply(p, x, cond, method=codec.compress))
+        self._begin = jax.jit(
+            lambda p, zi: codec.apply(p, zi, method=codec.decompress_begin))
+        self._update = {
+            step: jax.jit(partial(
+                lambda p, yqr, means, yhat, common, *, s: codec.apply(
+                    p, s, yqr, means, yhat, common,
+                    method=codec.decompress_update), s=step))
+            for step in range(4)
+        }
+        self._finish = jax.jit(
+            lambda p, yh, zs: codec.apply(p, yh, zs,
+                                          method=codec.decompress_finish))
+        self._z_only_decode = jax.jit(
+            lambda p, zi: codec.apply(p, zi, method=codec.decompress_z_only))
+
+    # -- CDF table lifecycle (ref compression_model.py:169-175) -------------
+
+    def update(self, force: bool = False):
+        if self.entropy_coder is not None and not force:
+            return
+        self.entropy_coder = EntropyCoder()
+        self.gaussian_coder.update(force=True, entropy_coder=self.entropy_coder)
+
+    # -- encode -------------------------------------------------------------
+
+    def encode(self, x, cond, pic_width: int, pic_height: int,
+               fp=None) -> Tuple[bytes, Dict[str, float]]:
+        """x: (1,H,W,3) padded to x64, cond: (1,H/8,W/8,4). Returns
+        (container bytes, bpp dict) — ref codec_module.py:316-353."""
+        out = self._compress(self.params, x, cond)
+        return self.write_streams(out, pic_width, pic_height, fp)
+
+    def write_streams(self, out: Dict[str, Any], pic_width: int,
+                      pic_height: int, fp=None) -> Tuple[bytes, Dict[str, float]]:
+        """Host half of encode: rANS-code the write plan + frame the container."""
+        assert self.entropy_coder is not None, "call update() first"
+        self.entropy_coder.reset()
+        thres = self.codec.force_zero_thres
+        for step in range(4):
+            y_q = np.asarray(out["y_q_w"][step])
+            scales = np.asarray(out["scales_w"][step])
+            self.gaussian_coder.encode(y_q, scales, skip_thres=thres)
+        self.entropy_coder.flush()
+        bit_stream_y = self.entropy_coder.get_encoded_stream()
+        bit_stream_z = self.fsq.pack_indices(np.asarray(out["z_indices"]))
+
+        total = encode_i(
+            pic_height=pic_height, pic_width=pic_width,
+            bit_stream_y=bit_stream_y, bit_stream_z=bit_stream_z,
+            bit_stream_caption="", caption_length=0)
+        if fp:
+            write_to_file(total, fp)
+            file_size = filesize(fp)
+        else:
+            file_size = 0.0
+
+        pixel_num = pic_height * pic_width
+        bits_y = len(bit_stream_y) * 8
+        bits_z = len(bit_stream_z) * 8
+        bits_total = len(total) * 8
+        return total, {
+            "bits_y": bits_y,
+            "bits_z": bits_z,
+            "bits_caption": 0,
+            "bits_total": bits_total,
+            "bpp_y": bits_y / pixel_num,
+            "bpp_z": bits_z / pixel_num,
+            "bpp_caption": 0.0,
+            "bpp": bits_total / pixel_num,
+            "bpp_file": file_size * 8 / pixel_num,
+        }
+
+    def encode_z_only(self, z_indices, pic_width: int, pic_height: int,
+                      fp=None) -> Tuple[bytes, Dict[str, float]]:
+        """z-only variant: container with an empty y stream (the reference's
+        exlow model has no bitstream writer at all — this adds one, 14 bits
+        per 64x64 block; ref z_only/inference.py:106-117 bpp accounting)."""
+        bit_stream_z = self.fsq.pack_indices(np.asarray(z_indices))
+        total = encode_i(pic_height=pic_height, pic_width=pic_width,
+                         bit_stream_y=b"", bit_stream_z=bit_stream_z,
+                         bit_stream_caption="", caption_length=0)
+        if fp:
+            write_to_file(total, fp)
+        pixel_num = pic_height * pic_width
+        bits_z = len(bit_stream_z) * 8
+        return total, {
+            "bits_y": 0, "bits_z": bits_z, "bits_caption": 0,
+            "bits_total": len(total) * 8,
+            "bpp_y": 0.0, "bpp_z": bits_z / pixel_num, "bpp_caption": 0.0,
+            "bpp": len(total) * 8 / pixel_num, "bpp_file": 0.0,
+        }
+
+    # -- decode -------------------------------------------------------------
+
+    def decode(self, fp=None, stream: Optional[bytes] = None):
+        """Returns (x_hat control tensor, y_semantic, orig_HW, pad_HW,
+        pad_tuple) — ref codec_module.py:356-369."""
+        assert fp or stream
+        data = stream if stream is not None else read_from_file(fp)
+        index_bits = self.fsq.index_bits
+        dec = decode_i(data, index_bits, self.ds)
+
+        zh, zw = dec["pad_height"] // self.ds, dec["pad_width"] // self.ds
+        z_indices = self.fsq.unpack_indices(
+            dec["bit_stream_z"], zh * zw).reshape(1, zh, zw)
+        z_indices = jnp.asarray(z_indices)
+
+        if self.codec.z_only:
+            x_hat, y_semantic = self._z_only_decode(self.params, z_indices)
+        else:
+            assert self.entropy_coder is not None, "call update() first"
+            self.entropy_coder.set_stream(dec["bit_stream_y"])
+            thres = self.codec.force_zero_thres
+
+            st = self._begin(self.params, z_indices)
+            y_hat, means, common = st["y_hat"], st["means"], st["common"]
+            scales_r = st["scales_r"]
+            for step in range(4):
+                y_q_r = self.gaussian_coder.decode_stream(
+                    np.asarray(scales_r), skip_thres=thres)
+                nxt = self._update[step](
+                    self.params, jnp.asarray(y_q_r), means, y_hat, common)
+                y_hat, means = nxt["y_hat"], nxt["means"]
+                scales_r = nxt["scales_r"]
+            x_hat, y_semantic = self._finish(self.params, y_hat,
+                                             st["z_semantic"])
+
+        orig_hw = (dec["height"], dec["width"])
+        pad_hw = (dec["pad_height"], dec["pad_width"])
+        return x_hat, y_semantic, orig_hw, pad_hw, dec["pad_tuple"]

@@ -1,0 +1,90 @@
+"""Stage-I training step: optimizer, schedule, pjit-sharded step function.
+
+Replaces the reference Accelerate-DDP trainer internals
+(``train_sd15_codec_stage1.py:269-335``): one AdamW over generator+codec
+params, constant-with-warmup LR, grad-clip 5.0, loss = pix + LPIPS +
+lambda*bpp.
+
+TPU-native: the step is one jitted function; data parallelism comes from
+sharding the batch over the mesh ``data`` axis (gradients all-reduce via
+XLA — the DDP allreduce equivalent). No per-rank code.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from .losses import RDLoss
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def make_optimizer(lr: float = 5e-5, warmup_steps: int = 500,
+                   grad_clip: float = 5.0, weight_decay: float = 0.0,
+                   b1: float = 0.9, b2: float = 0.999):
+    """AdamW + linear warmup to constant + global-norm clip
+    (ref train_sd15_codec_stage1.py:163-180)."""
+    schedule = optax.join_schedules(
+        [optax.linear_schedule(0.0, lr, warmup_steps),
+         optax.constant_schedule(lr)],
+        boundaries=[warmup_steps])
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay),
+    )
+
+
+def make_frozen_mask(params, frozen_paths: Tuple[str, ...] = ("vae",)):
+    """optax multi_transform style mask: True = trainable.
+
+    The VAE is always frozen (ref model_..._stage1.py:42,46); pass
+    ``("vae", "codec")`` to freeze the codec too (stage-II behavior).
+    """
+    def mask_tree(tree, prefix=()):
+        if isinstance(tree, dict):
+            return {k: mask_tree(v, prefix + (k,)) for k, v in tree.items()}
+        top = prefix[1] if len(prefix) > 1 else ""  # params/<submodule>/...
+        return not any(top == f for f in frozen_paths)
+    return mask_tree(params)
+
+
+def create_train_state(model, params, lr: float = 5e-5,
+                       warmup_steps: int = 500, grad_clip: float = 5.0,
+                       frozen: Tuple[str, ...] = ("vae",)) -> TrainState:
+    tx = make_optimizer(lr, warmup_steps, grad_clip)
+    mask = make_frozen_mask(params, frozen)
+    tx = optax.chain(optax.masked(tx, mask))
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+def make_train_step(model, loss: Optional[RDLoss] = None) -> Callable:
+    """Returns step(state, batch, rng) -> (state, metrics). Jittable;
+    shard batch over the mesh data axis for DP."""
+    if loss is None:
+        loss = RDLoss()
+
+    def train_step(state: TrainState, batch: Dict[str, Any], rng):
+        image = batch["image"]
+
+        def loss_fn(params):
+            enc_dict, pred = model.apply(params, image, training=True,
+                                         noise_rng=rng)
+            total, ld = loss(image, pred, enc_dict["bpp"],
+                             step=state.step, training=True)
+            ld["bpp_hard_y"] = enc_dict["bpp_hard_y"]
+            return total, ld
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step

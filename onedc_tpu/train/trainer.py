@@ -1,0 +1,196 @@
+"""Stage-I trainer: RD training of codec + one-step generator.
+
+Counterpart of the reference ``train_sd15_codec_stage1.py`` Trainer,
+re-designed for single-controller JAX:
+
+- data parallelism = batch sharded over the mesh ``data`` axis (no ranks,
+  no DDP wrappers, no broadcast of the per-step transform choice — every
+  host derives it deterministically from the step index)
+- one jitted train step (model fwd + loss + grads + optimizer)
+- eval epoch with metric means (the ``accelerator.reduce(mean)``
+  equivalent falls out of jnp.mean over the sharded batch)
+- rotating checkpoints + best tracking, TensorBoard scalars/images
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.datasets import (
+    DataLoader,
+    ImageFolderDataset,
+    MultiResolutionCrop,
+    cycle,
+    random_crop,
+)
+from ..models.onedc import OneDC
+from ..parallel.mesh import batch_sharding, make_mesh, replicate_params
+from ..utils.checkpoint import CheckpointManager
+from ..utils.logging import AvgDict, get_logger, make_writer
+from .losses import RDLoss
+from .step import create_train_state, make_train_step
+
+log = get_logger("onedc_tpu.train")
+
+
+class Trainer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.mesh = make_mesh()
+        self.model = OneDC(**dict(cfg.get("model", {})))
+
+        key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+        res = int(cfg.get("base_resolution", 512))
+        img0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        params = jax.jit(lambda x: self.model.init({"params": key}, x))(img0)
+
+        frozen = tuple(cfg.get("frozen", ("vae",)))
+        self.state = create_train_state(
+            self.model, params,
+            lr=float(cfg.get("lr", 5e-5)),
+            warmup_steps=int(cfg.get("warmup_steps", 500)),
+            grad_clip=float(cfg.get("grad_clip", 5.0)),
+            frozen=frozen)
+        self.state = replicate_params(self.mesh, self.state)
+
+        lmbda = float(cfg.get("lmbda", 1.8))
+        sched = cfg.get("lmbda_schedule",
+                        dict(start_step=0, end_step=4000,
+                             start_value=1e-4, end_value=lmbda))
+        lpips_fn = None
+        if cfg.get("lpips_weights"):
+            from ..nn.lpips import make_lpips_fn
+            lpips_fn = make_lpips_fn(cfg.lpips_weights)
+        else:
+            log.warning("training without LPIPS term (no lpips_weights)")
+        self.loss = RDLoss(
+            pix_weight=float(cfg.get("pix_weight", 1.0)),
+            lpips_weight=float(cfg.get("lpips_weight", 1.0)),
+            lmbda=lmbda, lmbda_schedule=dict(sched),
+            pix_loss_type=cfg.get("pix_loss_type", "l1"),
+            lpips_fn=lpips_fn)
+        self.step_fn = jax.jit(make_train_step(self.model, self.loss))
+
+        # data
+        self.batch_size = int(cfg.get("batch_size", 8))
+        self.crop = MultiResolutionCrop(
+            cfg.get("resolutions", [res]),
+            cfg.get("batch_scales", None),
+            seed=int(cfg.get("seed", 0)))
+        train_ds = ImageFolderDataset(cfg.train_data)
+        self.train_iter = cycle(DataLoader(
+            train_ds, self.batch_size, shuffle=True,
+            seed=int(cfg.get("seed", 0))))
+        self.eval_loader = (DataLoader(
+            ImageFolderDataset(cfg.eval_data), 1)
+            if cfg.get("eval_data") else None)
+
+        run_dir = Path(cfg.get("run_dir", "runs/stage1"))
+        self.ckpt = CheckpointManager(run_dir,
+                                      int(cfg.get("max_checkpoint", 3)))
+        self.writer = make_writer(run_dir / "tb")
+        self.writer.log_config(cfg)
+        self.log_interval = int(cfg.get("log_interval", 200))
+        self.save_interval = int(cfg.get("save_interval", 5000))
+        self.total_steps = int(cfg.get("total_steps", 400_000))
+        self.rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 1)
+
+    # -- one training step ---------------------------------------------------
+
+    def _prepare_batch(self, batch, step: int):
+        """Per-step multi-resolution crop + batch reduction
+        (ref train_sd15_codec_stage1.py:279-290, deterministic here)."""
+        res, scale = self.crop.pick(step)
+        bs = max(1, int(round(self.batch_size * scale)))
+        rng = np.random.default_rng(step)
+        imgs = np.stack([random_crop(im, res, rng)
+                         for im in batch["image"][:bs]])
+        return {"image": jax.device_put(
+            jnp.asarray(imgs), batch_sharding(self.mesh))}
+
+    def train_one_step(self, step: int):
+        batch = self._prepare_batch(next(self.train_iter), step)
+        self.rng, sub = jax.random.split(self.rng)
+        self.state, metrics = self.step_fn(self.state, batch, sub)
+        return metrics
+
+    # -- eval epoch (ref :220-266) -------------------------------------------
+
+    def eval_one_epoch(self, step: int, max_images: int = 16):
+        if self.eval_loader is None:
+            return {}
+        avg = AvgDict()
+        eval_fwd = jax.jit(lambda p, x: self.model.apply(p, x))
+        for i, batch in enumerate(self.eval_loader):
+            if i >= max_images:
+                break
+            img = jnp.asarray(batch["image"])
+            # center-crop to x64 for static shapes
+            h, w = img.shape[1] // 64 * 64, img.shape[2] // 64 * 64
+            img = img[:, :h, :w]
+            enc_dict, pred = eval_fwd(self.state.params, img)
+            mse = float(jnp.mean((pred - img) ** 2))
+            avg.update({"eval_mse": mse,
+                        "eval_psnr": -10 * np.log10(max(mse / 4, 1e-12)),
+                        "eval_bpp": float(enc_dict["bpp_hard_y"])})
+            if i == 0:
+                self.writer.log_image("eval/recon", np.asarray(pred[0]), step)
+                self.writer.log_image("eval/gt", np.asarray(img[0]), step)
+        means = avg.mean()
+        self.writer.log_dict(means, step, prefix="eval")
+        return means
+
+    # -- main loop ------------------------------------------------------------
+
+    def train(self):
+        start = int(self.state.step)
+        log.info("training from step %d to %d", start, self.total_steps)
+        t0 = time.perf_counter()
+        with self.mesh:
+            for step in range(start, self.total_steps):
+                metrics = self.train_one_step(step)
+                if (step + 1) % self.log_interval == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    dt = (time.perf_counter() - t0) / self.log_interval
+                    m["sec_per_step"] = dt
+                    t0 = time.perf_counter()
+                    self.writer.log_dict(m, step + 1, prefix="train")
+                    log.info("step %d: loss=%.4f bpp=%.4f (%.2fs/step)",
+                             step + 1, m["total_loss"], m["bpp"], dt)
+                if (step + 1) % self.save_interval == 0:
+                    ev = self.eval_one_epoch(step + 1)
+                    metric = ev.get("eval_mse")
+                    self.ckpt.save(
+                        jax.device_get(self.state), step + 1, metric)
+        self.writer.flush()
+
+    def resume(self, step: Optional[int] = None):
+        self.state, restored = self.ckpt.restore(jax.device_get(self.state),
+                                                 step)
+        self.state = replicate_params(self.mesh, self.state)
+        log.info("resumed from step %d", restored)
+
+
+def main(argv=None):
+    import argparse
+    from ..config import load_config
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--resume", action="store_true")
+    args, overrides = parser.parse_known_args(argv)
+    cfg = load_config(args.config, overrides)
+    trainer = Trainer(cfg)
+    if args.resume:
+        trainer.resume()
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()
