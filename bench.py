@@ -20,7 +20,9 @@ import jax.numpy as jnp
 BASELINE_DECODES_PER_SEC = 20.0
 SIZE = 768
 WARMUP = 2
-ITERS = 10
+ITERS = 10      # normalization constant for dt below
+N_SMALL = 2
+N_LARGE = 10
 
 
 def to_bf16(tree):
@@ -45,21 +47,31 @@ def main():
     params = to_bf16(params)
 
     zh = zw = SIZE // 64
-    z_indices = jax.random.randint(key, (1, zh, zw), 0, 16384)
+    # Honest timing through the remote tunnel (see memory: the runtime
+    # memoizes identical executions; block_until_ready doesn't guarantee
+    # completion; a host fetch costs ~30 ms RPC): run N distinct decodes
+    # inside ONE jitted lax.map, force a scalar fetch, and take the slope
+    # between two N values to cancel constant per-call overhead.
+    def many(p, zs):
+        def one(zi):
+            return jnp.mean(model.apply(p, zi[None],
+                                        method=model.decode_device_z_only))
+        return jnp.sum(jax.lax.map(one, zs))
 
-    decode = jax.jit(lambda p, zi: model.apply(
-        p, zi, method=model.decode_device_z_only))
+    many_j = jax.jit(many)
 
-    out = decode(params, z_indices)
-    jax.block_until_ready(out)
-    for _ in range(WARMUP - 1):
-        jax.block_until_ready(decode(params, z_indices))
+    def run(n, seed):
+        zs = jax.random.randint(jax.random.PRNGKey(seed), (n, zh, zw),
+                                0, 16384)
+        t0 = time.perf_counter()
+        float(many_j(params, zs))
+        return time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = decode(params, z_indices)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    run(N_SMALL, 0)  # compile+warm
+    run(N_LARGE, 1)
+    t_small = run(N_SMALL, 2)
+    t_large = run(N_LARGE, 3)
+    dt = (t_large - t_small) / (N_LARGE - N_SMALL) * ITERS
 
     decodes_per_sec = ITERS / dt
     print(json.dumps({

@@ -64,7 +64,8 @@ class Evaluator:
         self.cfg = cfg
         self.model = build_model(cfg)
         self.params = load_params(self.model, cfg)
-        self.runtime = OneDCRuntime(self.model, self.params)
+        dtype = jnp.bfloat16 if cfg.get("use_bf16", True) else None
+        self.runtime = OneDCRuntime(self.model, self.params, dtype=dtype)
         self.runtime.update(force=True)  # CDF build (ref inference.py:72)
         self.out_dir = Path(cfg.get("output_path", "outputs/inference"))
         (self.out_dir / "bin").mkdir(parents=True, exist_ok=True)

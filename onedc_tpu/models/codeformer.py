@@ -54,6 +54,24 @@ class Codeformer(nn.Module):
         return logits, probs
 
 
+class AuxDecoder(nn.Module):
+    """Auxiliary latent decoder head (ref codec_module.py:458-469; defined
+    by the reference but unused in shipped flows — kept for parity)."""
+
+    in_ch: int = 256
+    out_ch: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        from ..nn.blocks import AttnBlockVQ, ResnetBlockVQ
+        c = self.in_ch
+        x = ResnetBlockVQ(c, name="res0")(x)
+        x = ResnetBlockVQ(c, name="res1")(x)
+        x = AttnBlockVQ(c, name="attn0")(x)
+        x = ResnetBlockVQ(c, name="res2")(x)
+        return nn.Conv(self.out_ch, (3, 3), padding=1, name="conv_out")(x)
+
+
 def codeformer_losses(logits, probs, target_indices, target_quant,
                       codebook):
     """CE + MSE distillation losses (ref model_..._stage1.py:253-262).

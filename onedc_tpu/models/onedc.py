@@ -153,8 +153,18 @@ class OneDCRuntime:
     Images are NHWC jnp arrays in [-1, 1].
     """
 
-    def __init__(self, model: OneDC, params):
+    def __init__(self, model: OneDC, params, dtype=None):
+        """``dtype=jnp.bfloat16`` casts params once for bf16 inference —
+        the counterpart of the reference's bf16 autocast context
+        (model_..._stage1.py:117). Compress and decompress run the same
+        program, so quantization decisions stay consistent."""
         self.model = model
+        if dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                params)
+        self.dtype = dtype
         self.params = params
         codec_def = LatentCodec(
             cond_ch=model.vae_ch, ctrl_ch=model.ctrl_ch,
@@ -189,6 +199,8 @@ class OneDCRuntime:
         """image (1,H,W,3) in [-1,1] -> (stream bytes, bpp dict)."""
         _, h, w, _ = image.shape
         pad = get_padding_size(h, w, self.ds)
+        if self.dtype is not None:
+            image = image.astype(self.dtype)
         image_padded = self._pad_replicate(image, pad)
         out = self._encode_dev(self.params, image_padded)
 
@@ -228,4 +240,73 @@ class OneDCRuntime:
 
         pl, pr, pt, pb = dec["pad_tuple"]
         h, w = dec["pad_height"] - pt - pb, dec["pad_width"] - pl - pr
-        return pred[:, pt:pt + h, pl:pl + w, :]
+        return pred[:, pt:pt + h, pl:pl + w, :].astype(jnp.float32)
+
+    # -- batched decode (serving path) ---------------------------------------
+
+    def decode_batch(self, streams):
+        """Decode N same-padded-size bitstreams as one device batch.
+
+        The four-part prior forces 4 host<->device round trips per decode
+        (SURVEY.md section 3.2); batching shares them across images, and
+        the per-stream rANS decodes run on a thread pool (the C++ calls
+        drop the GIL). Returns a list of (1,H,W,3) images.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..entropy.coder import EntropyCoder
+        from ..entropy.framing import decode_i
+        from ..entropy.gaussian import GaussianConditionalCoder
+
+        rt = self._codec_rt
+        n = len(streams)
+        decs = [decode_i(s, rt.fsq.index_bits, self.ds) for s in streams]
+        pad_hw = {(d["pad_height"], d["pad_width"]) for d in decs}
+        assert len(pad_hw) == 1, f"mixed padded sizes: {pad_hw}"
+        ph, pw = pad_hw.pop()
+        zh, zw = ph // self.ds, pw // self.ds
+
+        z_indices = jnp.asarray(np.stack([
+            rt.fsq.unpack_indices(d["bit_stream_z"], zh * zw).reshape(zh, zw)
+            for d in decs]))
+
+        if self.model.z_only:
+            preds = self._decode_z_only(self.params, z_indices)
+        else:
+            assert rt.entropy_coder is not None, "call update() first"
+            cdf_info = rt.gaussian_coder.get_cdf_info()
+            coders = []
+            for d in decs:
+                ec = EntropyCoder()
+                gc = GaussianConditionalCoder()
+                gc.set_cdf_info(*cdf_info)
+                gc.entropy_coder = ec
+                gc.cdf_group_index = ec.add_cdf(*cdf_info)
+                ec.set_stream(d["bit_stream_y"])
+                coders.append(gc)
+
+            thres = self.model.force_zero_thres
+            st = rt._begin(rt.params, z_indices)
+            y_hat, means, common = st["y_hat"], st["means"], st["common"]
+            scales_r = st["scales_r"]
+            with ThreadPoolExecutor(max_workers=min(n, 16)) as pool:
+                for step in range(4):
+                    sc = np.asarray(scales_r)
+                    parts = list(pool.map(
+                        lambda i: coders[i].decode_stream(
+                            sc[i], skip_thres=thres), range(n)))
+                    y_q_r = jnp.asarray(np.stack(parts))
+                    nxt = rt._update[step](rt.params, y_q_r, means, y_hat,
+                                           common)
+                    y_hat, means, scales_r = (nxt["y_hat"], nxt["means"],
+                                              nxt["scales_r"])
+            preds = self._decode_dev(self.params, y_hat, st["z_semantic"])
+
+        out = []
+        for i, d in enumerate(decs):
+            pl, pr, pt, pb = d["pad_tuple"]
+            h = d["pad_height"] - pt - pb
+            w = d["pad_width"] - pl - pr
+            out.append(preds[i:i + 1, pt:pt + h, pl:pl + w, :].astype(
+                jnp.float32))
+        return out

@@ -23,6 +23,17 @@ import jax
 import jax.numpy as jnp
 
 
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor x2 upsample via broadcast+reshape.
+
+    ``jax.image.resize(method='nearest')`` lowers to gathers, which are
+    slow on TPU; broadcasting compiles to cheap data movement.
+    """
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
 def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
     """Depth-to-space matching torch.nn.PixelShuffle channel ordering.
 

@@ -22,7 +22,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .blocks import GroupNorm, ResnetBlockVQ
+from .attention import multi_head_attention
+from .blocks import GroupNorm, ResnetBlockVQ, upsample_nearest_2x
 
 
 def sinusoidal_time_embedding(timesteps, dim: int, *, flip_sin_to_cos: bool,
@@ -101,11 +102,7 @@ class SelfAttention2D(nn.Module):
             return t.reshape(b, h * w, heads, self.head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        scale = self.head_dim ** -0.5
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                          preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = multi_head_attention(q, k, v, self.head_dim ** -0.5)
         out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
         out = nn.Dense(c, name="to_out")(out)
         return out.reshape(b, h, w, c) + res
@@ -125,8 +122,7 @@ class Upsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        x = upsample_nearest_2x(x)
         return nn.Conv(self.channels, (3, 3), padding=1, name="conv")(x)
 
 

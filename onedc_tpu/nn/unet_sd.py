@@ -25,6 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .attention import multi_head_attention
 from .blocks import GroupNorm
 from .unet_enc import (
     Downsample2D,
@@ -58,11 +59,7 @@ class CrossAttention(nn.Module):
             return t.reshape(b, length, self.heads, self.head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = split(q, n), split(k, m), split(v, m)
-        scale = self.head_dim ** -0.5
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                          preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = multi_head_attention(q, k, v, self.head_dim ** -0.5)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         return nn.Dense(self.query_dim, name="to_out_0")(out)
 
@@ -218,6 +215,71 @@ class MidBlockCrossAttn(nn.Module):
                           name="attentions_0")(x, context)
         x = ResnetBlock2D(self.channels, name="resnets_1")(x, temb)
         return x
+
+
+class SD15UNet(nn.Module):
+    """Standard SD1.5 UNet2DConditionModel (4-ch latent in/out, text
+    cross-attention). Used as the DMD2 real/fake critic pair
+    (ref ``src/modules/dmd/sd_guidance.py:56-94``).
+
+    ``classify=True`` early-returns the mid-block feature for the GAN
+    discriminator head (ref ``sd_unet_forward.py:257-259``).
+    """
+
+    in_ch: int = 4
+    out_ch: int = 4
+    block_channels: Sequence[int] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    attention_head_dim: int = 8
+    context_dim: int = 768
+
+    @nn.compact
+    def __call__(self, sample, timesteps, context, classify: bool = False):
+        ch = list(self.block_channels)
+        heads = self.attention_head_dim
+
+        t_emb = sinusoidal_time_embedding(
+            timesteps, ch[0], flip_sin_to_cos=True, downscale_freq_shift=0.0)
+        temb = TimestepEmbedding(ch[0] * 4, name="time_embedding")(
+            t_emb.astype(sample.dtype))
+
+        h = nn.Conv(ch[0], (3, 3), padding=1, name="conv_in")(sample)
+        skips = [h]
+        for i, c in enumerate(ch):
+            is_final = i == len(ch) - 1
+            if not is_final:
+                h, s = CrossAttnDownBlock2D(
+                    c, heads, self.context_dim, self.layers_per_block,
+                    add_downsample=True,
+                    name=f"down_blocks_{i}")(h, temb, context)
+            else:
+                h, s = PlainDownBlock2D(
+                    c, self.layers_per_block, add_downsample=False,
+                    name=f"down_blocks_{i}")(h, temb)
+            skips.extend(s)
+
+        h = MidBlockCrossAttn(ch[-1], heads, self.context_dim,
+                              name="mid_block")(h, temb, context)
+        if classify:
+            return h  # bottleneck feature for the GAN head
+
+        rev = list(reversed(ch))
+        for i, c in enumerate(rev):
+            is_final = i == len(rev) - 1
+            n_res = self.layers_per_block + 1
+            blk = [skips.pop() for _ in range(n_res)][::-1]
+            if i == 0:
+                h = PlainUpBlock2D(c, n_res, add_upsample=True,
+                                   name=f"up_blocks_{i}")(h, blk, temb)
+            else:
+                h = CrossAttnUpBlock2D(
+                    c, heads, self.context_dim, n_res,
+                    add_upsample=not is_final,
+                    name=f"up_blocks_{i}")(h, blk, temb, context)
+
+        h = GroupNorm(32, 1e-5, name="conv_norm_out")(h)
+        h = jax.nn.silu(h)
+        return nn.Conv(self.out_ch, (3, 3), padding=1, name="conv_out")(h)
 
 
 class ReduceResblock(nn.Module):

@@ -22,7 +22,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .blocks import GroupNorm
+from .attention import multi_head_attention
+from .blocks import GroupNorm, upsample_nearest_2x
 
 
 class VaeResnetBlock(nn.Module):
@@ -87,10 +88,8 @@ class VaeAttention(nn.Module):
         q = nn.Dense(c, name="to_q")(flat)
         k = nn.Dense(c, name="to_k")(flat)
         v = nn.Dense(c, name="to_v")(flat)
-        attn = jnp.einsum("bqc,bkc->bqk", q, k,
-                          preferred_element_type=jnp.float32) * (c ** -0.5)
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bqk,bkc->bqc", attn, v)
+        out = multi_head_attention(q[:, None], k[:, None], v[:, None],
+                                   c ** -0.5)[:, 0]
         out = nn.Dense(c, name="to_out")(out).reshape(bb, hh, ww, c)
         if windowed:
             out = window_merge(out, meta, p)
@@ -124,8 +123,7 @@ class VaeUpBlock(nn.Module):
         for i in range(self.num_layers):
             x = VaeResnetBlock(self.out_ch, name=f"resnets_{i}")(x)
         if self.add_upsample:
-            b, h, w, c = x.shape
-            x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+            x = upsample_nearest_2x(x)
             x = nn.Conv(self.out_ch, (3, 3), padding=1, name="upsamplers_0")(x)
         return x
 
@@ -254,8 +252,7 @@ class TinyVaeDecoder(nn.Module):
         for stage in range(3):
             for b in range(3):
                 x = TaesdBlock(self.ch, name=f"stage{stage}_block{b}")(x)
-            bb, h, w, c = x.shape
-            x = jax.image.resize(x, (bb, h * 2, w * 2, c), method="nearest")
+            x = upsample_nearest_2x(x)
             x = nn.Conv(self.ch, (3, 3), padding=1, use_bias=False,
                         name=f"stage{stage}_conv")(x)
         x = TaesdBlock(self.ch, name="final_block")(x)

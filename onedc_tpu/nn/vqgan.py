@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .blocks import GroupNorm, ResnetBlockVQ
+from .blocks import GroupNorm, ResnetBlockVQ, upsample_nearest_2x
 
 
 class VQGANEncoder(nn.Module):
@@ -72,8 +72,7 @@ class VQGANDecoder(nn.Module):
                 h = ResnetBlockVQ(prev if j == 0 else block_out, block_out,
                                   name=f"up_{i}_block_{j}")(h)
             if i != 0:
-                b, hh, ww, c = h.shape
-                h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
+                h = upsample_nearest_2x(h)
                 h = nn.Conv(block_out, (3, 3), padding="SAME",
                             name=f"up_{i}_conv")(h)
         h = GroupNorm(32, 1e-6, name="norm_out")(h)

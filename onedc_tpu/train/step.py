@@ -41,26 +41,38 @@ def make_optimizer(lr: float = 5e-5, warmup_steps: int = 500,
     )
 
 
-def make_frozen_mask(params, frozen_paths: Tuple[str, ...] = ("vae",)):
-    """optax multi_transform style mask: True = trainable.
+def make_frozen_labels(params, frozen_paths: Tuple[str, ...] = ("vae",)):
+    """Label tree for optax.multi_transform: 'freeze' under the named
+    top-level submodules, 'train' elsewhere.
 
     The VAE is always frozen (ref model_..._stage1.py:42,46); pass
     ``("vae", "codec")`` to freeze the codec too (stage-II behavior).
     """
-    def mask_tree(tree, prefix=()):
+    def label_tree(tree, prefix=()):
         if isinstance(tree, dict):
-            return {k: mask_tree(v, prefix + (k,)) for k, v in tree.items()}
+            return {k: label_tree(v, prefix + (k,)) for k, v in tree.items()}
         top = prefix[1] if len(prefix) > 1 else ""  # params/<submodule>/...
-        return not any(top == f for f in frozen_paths)
-    return mask_tree(params)
+        return "freeze" if any(top == f for f in frozen_paths) else "train"
+    return label_tree(params)
+
+
+def make_masked_optimizer(params, tx, frozen_paths: Tuple[str, ...]):
+    """Apply tx to trainable leaves; hard-zero updates on frozen ones.
+
+    NB: plain ``optax.masked`` passes raw gradients through for masked-out
+    leaves (it does NOT freeze them) — multi_transform + set_to_zero is the
+    correct freeze.
+    """
+    labels = make_frozen_labels(params, frozen_paths)
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, labels)
 
 
 def create_train_state(model, params, lr: float = 5e-5,
                        warmup_steps: int = 500, grad_clip: float = 5.0,
                        frozen: Tuple[str, ...] = ("vae",)) -> TrainState:
-    tx = make_optimizer(lr, warmup_steps, grad_clip)
-    mask = make_frozen_mask(params, frozen)
-    tx = optax.chain(optax.masked(tx, mask))
+    tx = make_masked_optimizer(
+        params, make_optimizer(lr, warmup_steps, grad_clip), frozen)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 

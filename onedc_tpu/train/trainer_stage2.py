@@ -1,0 +1,249 @@
+"""Stage-II trainer: DMD2 fine-tune of the one-step generator.
+
+Counterpart of the reference ``train_sd15_codec_stage2.py``: two
+optimizers/turns —
+
+- GENERATOR turn (every ``dfake_gen_update_ratio``-th step): codec frozen,
+  loss = dm_loss*1.0 + gen_cls*1e-3 + pixel(L1+LPIPS)*0.625 on the OneDC
+  generator params (ref :346-388)
+- GUIDANCE turn (every step): fake-UNet epsilon MSE + diffusion-GAN
+  classifier BCE * 1e-2 on the SDGuidance params (real UNet frozen via
+  optimizer mask) (ref :401-438)
+
+JAX structure: two TrainStates with masked optimizers; each turn is one
+jitted function; the generator's x0 latents are passed (detached) into the
+guidance turn, mirroring the reference's generator_data_dict hand-off.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..models.dmd import SDGuidance
+from ..models.onedc import OneDC
+from .losses import RDLoss
+from .step import TrainState, make_masked_optimizer, make_optimizer
+
+
+def create_stage2_states(onedc: OneDC, onedc_params,
+                         guidance: SDGuidance, guidance_params,
+                         gen_lr: float = 1e-6, guid_lr: float = 1e-6,
+                         warmup_steps: int = 500, grad_clip: float = 10.0):
+    """Generator state (codec+vae frozen) + guidance state (real_unet
+    frozen)."""
+    gen_tx = make_masked_optimizer(
+        onedc_params, make_optimizer(gen_lr, warmup_steps, grad_clip),
+        ("vae", "codec"))
+    gen_state = TrainState.create(apply_fn=onedc.apply, params=onedc_params,
+                                  tx=gen_tx)
+    guid_tx = make_masked_optimizer(
+        guidance_params, make_optimizer(guid_lr, warmup_steps, grad_clip),
+        ("real_unet",))
+    guid_state = TrainState.create(apply_fn=guidance.apply,
+                                   params=guidance_params, tx=guid_tx)
+    return gen_state, guid_state
+
+
+def make_generator_step(onedc: OneDC, guidance: SDGuidance,
+                        rd_loss: Optional[RDLoss] = None,
+                        dm_weight: float = 1.0,
+                        gen_cls_weight: float = 1e-3,
+                        pix_weight: float = 0.625):
+    """Returns step(gen_state, guid_params, batch, text, uncond, rng) ->
+    (gen_state, metrics, aux) where aux carries detached latents for the
+    guidance turn."""
+    if rd_loss is None:
+        rd_loss = RDLoss(lmbda=0.0)  # codec frozen: no bpp term (ref :33)
+
+    def step(gen_state: TrainState, guid_params, batch, text_emb,
+             uncond_emb, rng):
+        image = batch["image"]
+        rng_noise, rng_guid = jax.random.split(rng)
+
+        def loss_fn(params):
+            enc_dict, pred = onedc.apply(params, image, training=True,
+                                         noise_rng=rng_noise)
+            latents = enc_dict["x_latent_recon"]
+            g = guidance.apply(guid_params, latents, text_emb, uncond_emb,
+                               rng_guid, method=guidance.generator_forward)
+            pix_total, pix_dict = rd_loss(image, pred, enc_dict["bpp"],
+                                          training=True)
+            loss = (dm_weight * g.get("loss_dm", 0.0)
+                    + gen_cls_weight * g.get("gen_cls_loss", 0.0)
+                    + pix_weight * pix_total)
+            metrics = {
+                "gen_total": loss,
+                "loss_dm": g.get("loss_dm", jnp.zeros(())),
+                "gen_cls_loss": g.get("gen_cls_loss", jnp.zeros(())),
+                "pix": pix_dict["pix"],
+                "bpp": enc_dict["bpp_hard_y"],
+            }
+            aux = {
+                "fake_latents": jax.lax.stop_gradient(latents),
+                "real_latents": jax.lax.stop_gradient(enc_dict["x_latent"]),
+            }
+            return loss, (metrics, aux)
+
+        (_, (metrics, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(gen_state.params)
+        gen_state = gen_state.apply_gradients(grads=grads)
+        return gen_state, metrics, aux
+
+    return step
+
+
+def make_guidance_step(guidance: SDGuidance,
+                       guidance_cls_weight: float = 1e-2):
+    """Returns step(guid_state, fake_latents, real_latents, text, uncond,
+    rng) -> (guid_state, metrics)."""
+
+    def step(guid_state: TrainState, fake_latents, real_latents, text_emb,
+             uncond_emb, rng):
+        def loss_fn(params):
+            out = guidance.apply(params, fake_latents, real_latents,
+                                 text_emb, uncond_emb, text_emb, rng,
+                                 method=guidance.guidance_forward)
+            loss = (out["loss_fake_mean"]
+                    + guidance_cls_weight * out.get("guidance_cls_loss", 0.0))
+            return loss, out
+
+        (_, out), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(guid_state.params)
+        guid_state = guid_state.apply_gradients(grads=grads)
+        metrics = {"guid_total": out["loss_fake_mean"],
+                   **{k: v for k, v in out.items()
+                      if v.ndim == 0}}
+        return guid_state, metrics
+
+    return step
+
+
+class Stage2Trainer:
+    """Two-turn training loop (ref train_sd15_codec_stage2.py:306-439)."""
+
+    def __init__(self, cfg: Config):
+        from ..data.datasets import DataLoader, ImageFolderDataset, cycle
+        from ..nn.text_encoder import TextEncoder
+        from ..parallel.mesh import make_mesh
+        from ..utils.checkpoint import CheckpointManager, load_safetensors
+        from ..utils.logging import get_logger, make_writer
+
+        self.log = get_logger("onedc_tpu.train2")
+        self.cfg = cfg
+        self.mesh = make_mesh()
+        self.onedc = OneDC(**dict(cfg.get("model", {})))
+        self.guidance = SDGuidance(**dict(cfg.get("guidance", {})))
+
+        key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+        img0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        onedc_params = jax.jit(
+            lambda x: self.onedc.init({"params": key}, x))(img0)
+        lat0 = jnp.zeros((1, 8, 8, 4), jnp.float32)
+        ctx0 = jnp.zeros((1, 77, self.guidance.context_dim), jnp.float32)
+        guid_params = jax.jit(lambda l, t, u: self.guidance.init(
+            {"params": key}, l, t, u, jax.random.PRNGKey(1),
+            method=self.guidance.generator_forward))(lat0, ctx0, ctx0)
+
+        if cfg.get("stage1_ckpt"):
+            loaded = load_safetensors(cfg.stage1_ckpt)
+            onedc_params = jax.tree_util.tree_map(
+                lambda ref, new: jnp.asarray(new).astype(ref.dtype),
+                onedc_params, loaded)
+
+        self.gen_state, self.guid_state = create_stage2_states(
+            self.onedc, onedc_params, self.guidance, guid_params,
+            gen_lr=float(cfg.get("gen_lr", 1e-6)),
+            guid_lr=float(cfg.get("guid_lr", 1e-6)))
+
+        lpips_fn = None
+        if cfg.get("lpips_weights"):
+            from ..nn.lpips import make_lpips_fn
+            lpips_fn = make_lpips_fn(cfg.lpips_weights)
+        rd = RDLoss(pix_weight=float(cfg.get("pix_weight", 1.0)),
+                    lpips_weight=float(cfg.get("lpips_weight", 1.0)),
+                    lmbda=0.0, lpips_fn=lpips_fn)
+        self.gen_step = jax.jit(make_generator_step(
+            self.onedc, self.guidance, rd,
+            dm_weight=float(cfg.get("dm_loss_weight", 1.0)),
+            gen_cls_weight=float(cfg.get("gen_cls_loss_weight", 1e-3)),
+            pix_weight=float(cfg.get("pix_loss_weight", 0.625))))
+        self.guid_step = jax.jit(make_guidance_step(
+            self.guidance,
+            guidance_cls_weight=float(cfg.get("guidance_cls_loss_weight",
+                                              1e-2))))
+
+        self._gen_latents = jax.jit(
+            lambda p, img, rng: self.onedc.apply(
+                p, img, training=True, noise_rng=rng))
+        self.text = TextEncoder(cfg.get("text_encoder_path"))
+        self.update_ratio = int(cfg.get("dfake_gen_update_ratio", 10))
+        self.batch_size = int(cfg.get("batch_size", 4))
+        ds = ImageFolderDataset(cfg.train_data)
+        self.train_iter = cycle(DataLoader(ds, self.batch_size, shuffle=True))
+        run_dir = cfg.get("run_dir", "runs/stage2")
+        self.ckpt = CheckpointManager(run_dir,
+                                      int(cfg.get("max_checkpoint", 3)))
+        self.writer = make_writer(f"{run_dir}/tb")
+        self.total_steps = int(cfg.get("total_steps", 1_000_000))
+        self.log_interval = int(cfg.get("log_interval", 200))
+        self.save_interval = int(cfg.get("save_interval", 5000))
+        self.rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 2)
+
+    def train(self):
+        import numpy as np
+        uncond1 = self.text.uncond_embedding(1)
+        with self.mesh:
+            for step in range(self.total_steps):
+                batch = next(self.train_iter)
+                imgs = {"image": jnp.asarray(batch["image"])}
+                ids = self.text.tokenize(batch["caption"])
+                text_emb = jnp.asarray(self.text.encode(ids))
+                uncond = jnp.tile(uncond1, (text_emb.shape[0], 1, 1))
+                self.rng, r1, r2 = jax.random.split(self.rng, 3)
+
+                # generator turn (gated), produces latents either way
+                if step % self.update_ratio == 0:
+                    self.gen_state, gmet, aux = self.gen_step(
+                        self.gen_state, self.guid_state.params, imgs,
+                        text_emb, uncond, r1)
+                else:
+                    # latents for the critic without a generator update
+                    enc_dict, _ = self._gen_latents(
+                        self.gen_state.params, imgs["image"], r1)
+                    aux = {"fake_latents": enc_dict["x_latent_recon"],
+                           "real_latents": enc_dict["x_latent"]}
+                    gmet = {}
+
+                self.guid_state, qmet = self.guid_step(
+                    self.guid_state, aux["fake_latents"],
+                    aux["real_latents"], text_emb, uncond, r2)
+
+                if (step + 1) % self.log_interval == 0:
+                    m = {k: float(v) for k, v in {**gmet, **qmet}.items()}
+                    self.writer.log_dict(m, step + 1, prefix="train2")
+                    self.log.info("step %d: %s", step + 1,
+                                  {k: round(v, 5) for k, v in m.items()})
+                if (step + 1) % self.save_interval == 0:
+                    self.ckpt.save(jax.device_get(
+                        {"gen": self.gen_state, "guid": self.guid_state}),
+                        step + 1)
+
+
+def main(argv=None):
+    import argparse
+    from ..config import load_config
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default=None)
+    args, overrides = p.parse_known_args(argv)
+    Stage2Trainer(load_config(args.config, overrides)).train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""DMD2 guidance: loss math, CFG batching, two-turn step functions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onedc_tpu.models.dmd import SDGuidance, add_noise
+from onedc_tpu.nn.diffusion import make_alphas_cumprod
+
+TINY = dict(block_channels=(32, 32, 64, 64), context_dim=32)
+# latents at 64x64 (=512px image): cls head needs mid >= 8x8
+
+
+@pytest.fixture(scope="module")
+def guidance_setup():
+    g = SDGuidance(**TINY)
+    key = jax.random.PRNGKey(0)
+    lat = jax.random.normal(key, (1, 64, 64, 4)) * 0.2
+    ctx = jax.random.normal(key, (1, 7, 32))
+    params = jax.jit(lambda l, t, u: g.init(
+        {"params": key}, l, t, u, jax.random.PRNGKey(1),
+        method=g.generator_forward))(lat, ctx, ctx)
+    return g, params, lat, ctx
+
+
+def test_add_noise_interpolates():
+    abar = make_alphas_cumprod()
+    x0 = jnp.ones((1, 2, 2, 4))
+    noise = jnp.zeros_like(x0)
+    # t=0: nearly clean
+    out = add_noise(x0, noise, jnp.array([0]), abar)
+    assert float(jnp.abs(out - x0).max()) < 0.01
+    # t=999: nearly destroyed
+    out = add_noise(x0, noise, jnp.array([999]), abar)
+    assert float(jnp.abs(out).max()) < 0.1
+
+
+def test_generator_forward_losses(guidance_setup):
+    g, params, lat, ctx = guidance_setup
+    out = jax.jit(lambda p, l, t, u, r: g.apply(
+        p, l, t, u, r, method=g.generator_forward))(
+        params, lat, ctx, ctx, jax.random.PRNGKey(2))
+    assert np.isfinite(float(out["loss_dm"]))
+    assert np.isfinite(float(out["gen_cls_loss"]))
+    assert float(out["gen_cls_loss"]) > 0  # softplus is positive
+
+
+def test_dm_loss_grad_flows_to_latents_only(guidance_setup):
+    g, params, lat, ctx = guidance_setup
+
+    def loss_wrt_latents(l):
+        out = g.apply(params, l, ctx, ctx, jax.random.PRNGKey(2),
+                      method=g.generator_forward)
+        return out["loss_dm"]
+
+    grad = jax.jit(jax.grad(loss_wrt_latents))(lat)
+    assert float(jnp.abs(grad).max()) > 0
+    # detached-target MSE: d/dlatents loss = (lat - (lat-grad))/N = grad/N
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_guidance_forward_losses(guidance_setup):
+    g, params, lat, ctx = guidance_setup
+    real = lat + 0.1
+    out = jax.jit(lambda p, f, r, t, u, rt, rng: g.apply(
+        p, f, r, t, u, rt, rng, method=g.guidance_forward))(
+        params, lat, real, ctx, ctx, ctx, jax.random.PRNGKey(3))
+    assert np.isfinite(float(out["loss_fake_mean"]))
+    assert np.isfinite(float(out["guidance_cls_loss"]))
+    assert 0.0 <= float(out["pred_realism_on_real"]) <= 1.0
+
+
+def test_two_turn_steps(guidance_setup):
+    """One generator turn + one guidance turn with the tiny OneDC."""
+    from onedc_tpu.models.onedc import OneDC
+    from onedc_tpu.train.trainer_stage2 import (
+        create_stage2_states,
+        make_generator_step,
+        make_guidance_step,
+    )
+
+    g, guid_params, _, ctx = guidance_setup
+    onedc = OneDC(internal_ch=64, bottleneck_ch=32,
+                  unet_ch_config=(32, 64, 64), ctrl_ch=32,
+                  sd_block_channels=(32, 32, 64, 64), context_dim=64,
+                  vae_block_channels=(32, 32, 64, 64), vae_attn_patch=4)
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (1, 512, 512, 3), minval=-1, maxval=1)
+    onedc_params = jax.jit(
+        lambda x: onedc.init({"params": key}, x))(img[:, :64, :64])
+
+    gen_state, guid_state = create_stage2_states(
+        onedc, onedc_params, g, guid_params)
+    gen_step = jax.jit(make_generator_step(onedc, g))
+    guid_step = jax.jit(make_guidance_step(g))
+
+    gen_state, gmet, aux = gen_step(gen_state, guid_state.params,
+                                    {"image": img}, ctx, ctx,
+                                    jax.random.PRNGKey(5))
+    assert np.isfinite(float(gmet["gen_total"]))
+    assert aux["fake_latents"].shape == (1, 64, 64, 4)
+
+    guid_state, qmet = guid_step(guid_state, aux["fake_latents"],
+                                 aux["real_latents"], ctx, ctx,
+                                 jax.random.PRNGKey(6))
+    assert np.isfinite(float(qmet["guid_total"]))
+
+    # frozen masks: vae/codec params unchanged in generator update,
+    # real_unet unchanged in guidance update
+    assert jnp.array_equal(
+        jax.tree_util.tree_leaves(gen_state.params["params"]["codec"])[0],
+        jax.tree_util.tree_leaves(onedc_params["params"]["codec"])[0])
+    assert jnp.array_equal(
+        jax.tree_util.tree_leaves(guid_state.params["params"]["real_unet"])[0],
+        jax.tree_util.tree_leaves(guid_params["params"]["real_unet"])[0])

@@ -61,6 +61,21 @@ def test_encode_decode_round_trip(onedc_setup, tmp_path):
     np.testing.assert_array_equal(np.asarray(pred), np.asarray(pred2))
 
 
+def test_decode_batch_matches_sequential(onedc_setup):
+    model, params, img = onedc_setup
+    rt = OneDCRuntime(model, params)
+    rt.update()
+    key = jax.random.PRNGKey(7)
+    imgs = [img, jnp.clip(img + 0.1 * jax.random.normal(key, img.shape),
+                          -1, 1)]
+    streams = [rt.encode(im)[0] for im in imgs]
+    batched = rt.decode_batch(streams)
+    for s, b in zip(streams, batched):
+        single = rt.decode(stream=s)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(single),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_decode_matches_eval_forward(onedc_setup):
     """Bitstream decode must agree with the direct eval forward (the
     quantized math is identical; rANS is lossless)."""

@@ -108,3 +108,29 @@ def test_safetensors_roundtrip(tmp_path, rng):
 
 def test_parse_step_from_path():
     assert parse_step_from_path("/x/checkpoint_model_012345") == 12345
+
+
+def test_frozen_params_do_not_update():
+    """Regression: optax.masked passes grads through for masked-out leaves;
+    our multi_transform freeze must hard-zero them."""
+    import optax
+    from onedc_tpu.train.step import make_masked_optimizer, make_optimizer
+
+    params = {"params": {"vae": {"w": jnp.ones(3)},
+                         "codec": {"w": jnp.ones(3)}}}
+    # warmup_steps=0: the warmup schedule starts at lr=0, which would make
+    # the trainable branch a no-op at step 0 too
+    tx = make_masked_optimizer(params, make_optimizer(lr=0.1, warmup_steps=0),
+                               ("vae",))
+    @jax.jit
+    def step(params):
+        state = tx.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+        return optax.apply_updates(params, updates)
+
+    new = step(params)
+    np.testing.assert_array_equal(np.asarray(new["params"]["vae"]["w"]),
+                                  np.ones(3))
+    assert not np.allclose(np.asarray(new["params"]["codec"]["w"]),
+                           np.ones(3))
