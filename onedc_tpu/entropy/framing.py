@@ -102,18 +102,34 @@ def encode_i(pic_height: int, pic_width: int, bit_stream_y: bytes,
     return buffer.getvalue()
 
 
+class CorruptBitstreamError(ValueError):
+    pass
+
+
 def decode_i(data: bytes, index_unit_length: int, ds: int) -> dict:
     """Unpack the container; z length derived from padded dims (utils.py:108-132)."""
     buffer = io.BytesIO(data)
-    height, width = read_uints(buffer, 2)
-    (stream_length,) = read_uints(buffer, 1)
-    (caption_length,) = read_uints(buffer, 1)
+    try:
+        height, width = read_uints(buffer, 2)
+        (stream_length,) = read_uints(buffer, 1)
+        (caption_length,) = read_uints(buffer, 1)
+    except struct.error as e:
+        raise CorruptBitstreamError(
+            f"container header truncated ({len(data)} bytes)") from e
+    if not (0 < height <= 1 << 16 and 0 < width <= 1 << 16):
+        raise CorruptBitstreamError(
+            f"implausible image size {height}x{width}")
 
     padding_l, padding_r, padding_t, padding_b = get_padding_size(height, width, p=ds)
     pad_h = height + padding_t + padding_b
     pad_w = width + padding_l + padding_r
     stream_length_z = math.ceil((pad_h // ds) * (pad_w // ds) * index_unit_length / 8.0)
 
+    expected = 16 + stream_length + stream_length_z + caption_length
+    if len(data) < expected:
+        raise CorruptBitstreamError(
+            f"container truncated: {len(data)} bytes < {expected} expected "
+            f"for a {height}x{width} image")
     bit_stream_y = read_bytes(buffer, stream_length) if stream_length else b""
     bit_stream_z = read_bytes(buffer, stream_length_z) if stream_length_z else b""
     bit_stream_caption = read_bytes(buffer, caption_length) if caption_length else b""

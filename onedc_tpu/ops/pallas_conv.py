@@ -1,0 +1,189 @@
+"""Pallas TPU kernel: 3x3 same-padding convolution for spatial-heavy,
+narrow-channel shapes.
+
+XLA's TPU conv runs at ~15-30% of the MXU roofline for the VAE decoder's
+tail shapes (e.g. 768x768x128 -> 128: 24 TF/s measured vs ~197 peak). This
+kernel decomposes conv3x3 into nine shifted (M, Cin) x (Cin, Cout) MXU
+matmuls with all operands staged in VMEM.
+
+Layout strategy (everything tile-aligned, no relayout copies):
+- dx in {-1,0,1}: three pre-shifted HBM copies built by XLA
+  (``x3[dx] = pad(x)[:, dx:dx+W]``), so kernel DMAs are lane/sublane
+  aligned.
+- dy in {-1,0,1}: the slab keeps (rows, W, C) 3D shape; dim 0 is untiled,
+  so ``slab[dx, dy:dy+8]`` is free slicing.
+- Cin > 128 is processed in 128-lane K blocks (separate DMAs per block).
+
+Constraints: stride 1, 3x3 kernel, Cin and Cout multiples of 128, H
+divisible by 8. Other shapes fall back to lax.conv. Backward: custom VJP
+(dx via the same kernel with flipped/transposed weights, dw via XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+ROWS = 8  # output image rows per grid step
+
+
+def _kernel(x3_ref, w_ref, out_ref, slab_ref, sem_ref, *, n_k: int,
+            width: int, slots: int):
+    """slab_ref: (slots, 3, (ROWS+2)*W, 128) — ping-pong slots x 3 dx
+    shifts (slots=1 when VMEM is tight; then DMA is serial).
+
+    All slices are tile-aligned: slab rows are sliced at dy*W (W % 8 == 0)
+    and the HBM source at i*ROWS*W; no reshapes happen in VMEM.
+    """
+    i = pl.program_id(0)
+
+    def dma(slot, dx, k):
+        return pltpu.make_async_copy(
+            x3_ref.at[dx, pl.ds(i * ROWS * width, (ROWS + 2) * width),
+                      pl.ds(k * LANE, LANE)],
+            slab_ref.at[slot, dx], sem_ref.at[slot, dx])
+
+    def start_all(slot, k):
+        for dx in range(3):
+            dma(slot, dx, k).start()
+
+    def wait_all(slot, k):
+        for dx in range(3):
+            dma(slot, dx, k).wait()
+
+    start_all(0, 0)
+    acc = jnp.zeros((ROWS * width, LANE), jnp.float32)
+    for k in range(n_k):
+        slot = k % slots
+        if slots > 1 and k + 1 < n_k:
+            start_all(1 - slot, k + 1)   # overlap next K-block transfer
+        wait_all(slot, k)
+        for dx in range(3):
+            for dy in range(3):
+                xs = slab_ref[slot, dx,
+                              pl.ds(dy * width, ROWS * width), :]
+                acc = acc + jnp.dot(
+                    xs, w_ref[dy, dx, pl.ds(k * LANE, LANE), :],
+                    preferred_element_type=jnp.float32)
+        if slots == 1 and k + 1 < n_k:
+            start_all(0, k + 1)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _conv3x3_pallas_single(x, w):
+    """x (H, W, Cin), w (3, 3, Cin, Cout) -> (H, W, Cout)."""
+    h, width, cin = x.shape
+    cout = w.shape[-1]
+    n_k = cin // LANE
+
+    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))           # (H+2, W+2, C)
+    x3 = jnp.stack([xp[:, 0:width], xp[:, 1:width + 1],
+                    xp[:, 2:width + 2]])                 # (3, H+2, W, C)
+    x3 = x3.reshape(3, (h + 2) * width, cin)
+
+    slab_bytes = 3 * (ROWS + 2) * width * LANE * x.dtype.itemsize
+    fixed = (ROWS * width * LANE * 4            # f32 acc
+             + ROWS * width * LANE * x.dtype.itemsize   # out block
+             + 9 * cin * LANE * x.dtype.itemsize)       # weights
+    slots = 2 if (n_k > 1 and fixed + 2 * slab_bytes <= _VMEM_BUDGET) else 1
+
+    grid = (h // ROWS, cout // LANE)
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_k=n_k, width=width, slots=slots),
+        out_shape=jax.ShapeDtypeStruct((h * width, cout), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),        # x3 stays in HBM
+            pl.BlockSpec((3, 3, cin, LANE), lambda i, j: (0, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROWS * width, LANE), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((slots, 3, (ROWS + 2) * width, LANE), x.dtype),
+            pltpu.SemaphoreType.DMA((slots, 3)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * h * width * cin * cout * 9,
+            bytes_accessed=(3 * h * width * cin + h * width * cout
+                            ) * x.dtype.itemsize,
+            transcendentals=0),
+    )(x3, w)
+    return out.reshape(h, width, cout)
+
+
+def supports_pallas_conv(shape, w_shape) -> bool:
+    if len(shape) != 4 or tuple(w_shape[:2]) != (3, 3):
+        return False
+    _, h, width, cin = shape
+    cout = w_shape[-1]
+    return (cin % LANE == 0 and cout % LANE == 0 and h % ROWS == 0
+            and h * width >= 256 * 256)  # only worth it when spatial-heavy
+
+
+@jax.custom_vjp
+def conv3x3_same(x, w):
+    """Batched NHWC 3x3 stride-1 same conv via the Pallas kernel."""
+    if x.shape[0] == 1:
+        return _conv3x3_pallas_single(x[0], w)[None]
+    return jax.lax.map(lambda xi: _conv3x3_pallas_single(xi, w), x)
+
+
+def _fwd(x, w):
+    return conv3x3_same(x, w), (x, w)
+
+
+def _bwd(res, g):
+    x, w = res
+    # dx: correlate g with spatially-flipped, in/out-transposed kernels
+    w_flip = jnp.flip(jnp.flip(w, 0), 1).transpose(0, 1, 3, 2)
+    if supports_pallas_conv(g.shape, w_flip.shape):
+        dx = conv3x3_same(g, w_flip)
+    else:
+        dx = jax.lax.conv_general_dilated(
+            g, w_flip, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # dw via XLA (cheap relative to the forward at these shapes)
+    dw = jax.lax.conv_general_dilated(
+        x.transpose(3, 1, 2, 0), g.transpose(1, 2, 0, 3),
+        (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).transpose(1, 2, 0, 3)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+conv3x3_same.defvjp(_fwd, _bwd)
+
+
+def conv3x3(x, w, bias: Optional[jnp.ndarray] = None, *,
+            allow_pallas: bool = False):
+    """Dispatching 3x3 same conv: Pallas on TPU for supported shapes,
+    lax.conv otherwise.
+
+    ``allow_pallas`` defaults to False: on the measured v5e the kernel
+    matches XLA's conv (~21-48 TF/s at the VAE tail shapes, both near the
+    chip's observed ~40 TF/s practical matmul ceiling) without beating it,
+    so XLA remains the default path. The kernel is kept as the substrate
+    for future fusion work (GN/SiLU epilogues would amortize its DMAs).
+    """
+    use = (allow_pallas
+           and jax.devices()[0].platform == "tpu"
+           and supports_pallas_conv(x.shape, w.shape))
+    if use:
+        out = conv3x3_same(x, w)
+    else:
+        out = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        out = out + bias
+    return out

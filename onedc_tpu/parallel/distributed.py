@@ -1,0 +1,49 @@
+"""Multi-host initialization and cross-host utilities.
+
+The reference's multi-process story is `accelerate launch` + NCCL
+(SURVEY.md section 2 parallelism table). The TPU-native equivalent is
+single-controller JAX: each host runs the same program,
+``jax.distributed.initialize()`` wires the hosts, and pjit-sharded arrays
+span the full pod slice. No rank-conditional code paths are needed beyond
+"only process 0 writes logs/checkpoints".
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Wire up multi-host JAX. On TPU pods all arguments are discovered
+    from the environment; pass them explicitly for CPU/GPU clusters.
+    Safe to call on a single host (no-op if already initialized)."""
+    if jax.process_count() > 1:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass  # single-process / already initialized
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def sync_global_devices(name: str = "barrier") -> None:
+    """Cross-host barrier (the reference's accelerator.wait_for_everyone)."""
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
+
+
+def process_allgather(x):
+    """Gather per-host values to every host (eval metric reduction)."""
+    from jax.experimental import multihost_utils
+    return multihost_utils.process_allgather(x)

@@ -76,18 +76,35 @@ def create_train_state(model, params, lr: float = 5e-5,
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
-def make_train_step(model, loss: Optional[RDLoss] = None) -> Callable:
+def make_train_step(model, loss: Optional[RDLoss] = None,
+                    remat: bool = False) -> Callable:
     """Returns step(state, batch, rng) -> (state, metrics). Jittable;
-    shard batch over the mesh data axis for DP."""
+    shard batch over the mesh data axis for DP.
+
+    ``remat=True`` rematerializes the forward during backward (keeping
+    matmul outputs, recomputing elementwise) — the reference's
+    gradient-checkpointing equivalent (model_..._stage1.py:98-100),
+    required to fit full-size 512px training in v5e HBM.
+    """
     if loss is None:
         loss = RDLoss()
+
+    apply_fn = model.apply
+    if remat:
+        apply_fn = jax.checkpoint(
+            lambda p, img, rng: model.apply(p, img, training=True,
+                                            noise_rng=rng),
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
     def train_step(state: TrainState, batch: Dict[str, Any], rng):
         image = batch["image"]
 
         def loss_fn(params):
-            enc_dict, pred = model.apply(params, image, training=True,
-                                         noise_rng=rng)
+            if remat:
+                enc_dict, pred = apply_fn(params, image, rng)
+            else:
+                enc_dict, pred = model.apply(params, image, training=True,
+                                             noise_rng=rng)
             total, ld = loss(image, pred, enc_dict["bpp"],
                              step=state.step, training=True)
             ld["bpp_hard_y"] = enc_dict["bpp_hard_y"]

@@ -76,7 +76,9 @@ class Trainer:
             lmbda=lmbda, lmbda_schedule=dict(sched),
             pix_loss_type=cfg.get("pix_loss_type", "l1"),
             lpips_fn=lpips_fn)
-        self.step_fn = jax.jit(make_train_step(self.model, self.loss))
+        self.step_fn = jax.jit(make_train_step(
+            self.model, self.loss,
+            remat=bool(cfg.get("gradient_checkpointing", True))))
 
         # data
         self.batch_size = int(cfg.get("batch_size", 8))

@@ -21,6 +21,11 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The axon PJRT plugin registers itself regardless of JAX_PLATFORMS, and
+# jax.devices() then returns the remote TPU — silently routing "CPU" tests
+# through the tunnel. The config knob actually enforces the restriction.
+jax.config.update("jax_platforms", "cpu")
+
 # Op-by-op dispatch goes through a remote compile service in this harness;
 # cache compiled executables on disk so repeat runs are fast, and prefer
 # jitted init/apply in tests (see `jit_init` / `jit_apply`).

@@ -47,3 +47,16 @@ def test_container_roundtrip_with_padding_and_caption():
     assert out["bit_stream_y"] == y
     assert out["bit_stream_z"] == z
     assert out["bit_stream_caption"] == cap
+
+
+def test_corrupt_bitstream_errors():
+    import pytest
+    from onedc_tpu.entropy.framing import CorruptBitstreamError, decode_i, encode_i
+    good = encode_i(pic_height=60, pic_width=60, bit_stream_y=b"y" * 100,
+                    bit_stream_z=b"zz", bit_stream_caption="", caption_length=0)
+    with pytest.raises(CorruptBitstreamError, match="truncated"):
+        decode_i(good[:10], 14, 64)
+    with pytest.raises(CorruptBitstreamError, match="truncated"):
+        decode_i(good[:40], 14, 64)
+    with pytest.raises(CorruptBitstreamError, match="implausible"):
+        decode_i(b"\xff" * 64, 14, 64)
