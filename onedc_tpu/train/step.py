@@ -28,17 +28,27 @@ class TrainState(train_state.TrainState):
 
 def make_optimizer(lr: float = 5e-5, warmup_steps: int = 500,
                    grad_clip: float = 5.0, weight_decay: float = 0.0,
-                   b1: float = 0.9, b2: float = 0.999):
-    """AdamW + linear warmup to constant + global-norm clip
-    (ref train_sd15_codec_stage1.py:163-180)."""
+                   b1: float = 0.9, b2: float = 0.999,
+                   optimizer: str = "adamw"):
+    """Warmup-to-constant LR + global-norm clip + AdamW or Adafactor.
+
+    AdamW matches the reference trainer (train_sd15_codec_stage1.py:163-180)
+    but its f32 moments cost 2x params (~10.6 GB at full size) — more than
+    one v5e chip's HBM. ``optimizer="adafactor"`` keeps the same schedule
+    with factored second moments (state ~= params), fitting single-chip
+    full-size training; on a pod slice, shard the state over the mesh
+    instead.
+    """
     schedule = optax.join_schedules(
         [optax.linear_schedule(0.0, lr, warmup_steps),
          optax.constant_schedule(lr)],
         boundaries=[warmup_steps])
-    return optax.chain(
-        optax.clip_by_global_norm(grad_clip),
-        optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay),
-    )
+    if optimizer == "adafactor":
+        opt = optax.adafactor(schedule, multiply_by_parameter_scale=False,
+                              weight_decay_rate=weight_decay or None)
+    else:
+        opt = optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay)
+    return optax.chain(optax.clip_by_global_norm(grad_clip), opt)
 
 
 def make_frozen_labels(params, frozen_paths: Tuple[str, ...] = ("vae",)):
@@ -70,9 +80,11 @@ def make_masked_optimizer(params, tx, frozen_paths: Tuple[str, ...]):
 
 def create_train_state(model, params, lr: float = 5e-5,
                        warmup_steps: int = 500, grad_clip: float = 5.0,
-                       frozen: Tuple[str, ...] = ("vae",)) -> TrainState:
+                       frozen: Tuple[str, ...] = ("vae",),
+                       optimizer: str = "adamw") -> TrainState:
     tx = make_masked_optimizer(
-        params, make_optimizer(lr, warmup_steps, grad_clip), frozen)
+        params, make_optimizer(lr, warmup_steps, grad_clip,
+                               optimizer=optimizer), frozen)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 

@@ -57,7 +57,8 @@ class Trainer:
             lr=float(cfg.get("lr", 5e-5)),
             warmup_steps=int(cfg.get("warmup_steps", 500)),
             grad_clip=float(cfg.get("grad_clip", 5.0)),
-            frozen=frozen)
+            frozen=frozen,
+            optimizer=cfg.get("optimizer", "adamw"))
         self.state = replicate_params(self.mesh, self.state)
 
         lmbda = float(cfg.get("lmbda", 1.8))

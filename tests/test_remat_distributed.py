@@ -38,6 +38,19 @@ def test_remat_step_matches_plain():
                                float(m2["grad_norm"]), rtol=1e-3)
 
 
+def test_adafactor_step_runs():
+    model = OneDC(**TINY)
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (1, 64, 64, 3), minval=-1, maxval=1)
+    params = jax.jit(lambda x: model.init({"params": key}, x))(img)
+    state = create_train_state(model, params, lr=1e-4, warmup_steps=0,
+                               optimizer="adafactor")
+    step = jax.jit(make_train_step(model))
+    state, metrics = step(state, {"image": img}, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(state.step) == 1
+
+
 def test_distributed_single_process():
     initialize()  # no-op on one process
     assert is_main_process()

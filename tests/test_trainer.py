@@ -1,0 +1,53 @@
+"""Stage-I Trainer smoke: two real steps + eval epoch + checkpoint rotation
+on the 8-device CPU mesh with a tiny model and a temp image folder."""
+
+import numpy as np
+import pytest
+
+from onedc_tpu.config import Config
+from onedc_tpu.data.datasets import save_image
+
+TINY_MODEL = dict(
+    internal_ch=64, bottleneck_ch=32, unet_ch_config=[32, 64, 64],
+    ctrl_ch=32, sd_block_channels=[32, 32, 64, 64], context_dim=64,
+    vae_block_channels=[32, 32, 64, 64], vae_attn_patch=4,
+)
+
+
+@pytest.mark.slow
+def test_trainer_two_steps(tmp_path):
+    rng = np.random.default_rng(0)
+    data_dir = tmp_path / "imgs"
+    data_dir.mkdir()
+    for i in range(8):
+        save_image(rng.uniform(-1, 1, (80, 80, 3)).astype(np.float32),
+                   data_dir / f"im{i}.png")
+
+    cfg = Config.wrap(dict(
+        model=TINY_MODEL,
+        train_data=str(data_dir),
+        eval_data=str(data_dir),
+        run_dir=str(tmp_path / "run"),
+        batch_size=8,            # one image per device
+        base_resolution=64,
+        resolutions=[64],
+        total_steps=2,
+        log_interval=1,
+        save_interval=2,
+        lmbda=1.8,
+        gradient_checkpointing=False,
+        warmup_steps=1,
+    ))
+    from onedc_tpu.train.trainer import Trainer
+    tr = Trainer(cfg)
+    tr.train()
+
+    assert int(tr.state.step) == 2
+    ckpts = list((tmp_path / "run").glob("checkpoint_model_*"))
+    assert len(ckpts) == 1 and ckpts[0].name.endswith("000002")
+    assert (tmp_path / "run" / "checkpoints_best").exists()
+
+    # resume restores the step counter
+    tr2 = Trainer(cfg)
+    tr2.resume()
+    assert int(tr2.state.step) == 2
