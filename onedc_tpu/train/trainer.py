@@ -59,7 +59,11 @@ class Trainer:
             grad_clip=float(cfg.get("grad_clip", 5.0)),
             frozen=frozen,
             optimizer=cfg.get("optimizer", "adamw"))
-        self.state = replicate_params(self.mesh, self.state)
+        if cfg.get("fsdp", False):
+            from ..parallel.fsdp import shard_state
+            self.state = shard_state(self.mesh, self.state)
+        else:
+            self.state = replicate_params(self.mesh, self.state)
 
         lmbda = float(cfg.get("lmbda", 1.8))
         sched = cfg.get("lmbda_schedule",
