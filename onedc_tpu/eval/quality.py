@@ -103,7 +103,10 @@ def main(argv=None):
     if args.lpips_weights:
         from ..nn.lpips import make_lpips_fn
         lpips_fn = make_lpips_fn(args.lpips_weights)
-    feature_fn = None  # inception feature extractor hookup (weights on disk)
+    feature_fn = None
+    if args.inception_weights:
+        log.warning("InceptionV3 feature extractor not wired yet; "
+                    "patch-FID/KID skipped (protocol in eval/metrics.py)")
     test_two_folders(args.real_dir, args.fake_dir, args.out,
                      lpips_fn=lpips_fn, feature_fn=feature_fn)
 

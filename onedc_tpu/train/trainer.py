@@ -113,9 +113,14 @@ class Trainer:
 
     def _prepare_batch(self, batch, step: int):
         """Per-step multi-resolution crop + batch reduction
-        (ref train_sd15_codec_stage1.py:279-290, deterministic here)."""
+        (ref train_sd15_codec_stage1.py:279-290, deterministic here).
+
+        The reduced batch is rounded up to a multiple of the data-axis
+        size so the sharded leading dim always divides the mesh."""
         res, scale = self.crop.pick(step)
+        n_data = self.mesh.shape["data"]
         bs = max(1, int(round(self.batch_size * scale)))
+        bs = max(n_data, (bs // n_data) * n_data)
         rng = np.random.default_rng(step)
         imgs = np.stack([random_crop(im, res, rng)
                          for im in batch["image"][:bs]])
@@ -134,7 +139,9 @@ class Trainer:
         if self.eval_loader is None:
             return {}
         avg = AvgDict()
-        eval_fwd = jax.jit(lambda p, x: self.model.apply(p, x))
+        if not hasattr(self, "_eval_fwd"):
+            self._eval_fwd = jax.jit(lambda p, x: self.model.apply(p, x))
+        eval_fwd = self._eval_fwd
         for i, batch in enumerate(self.eval_loader):
             if i >= max_images:
                 break
