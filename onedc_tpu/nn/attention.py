@@ -88,3 +88,33 @@ def multi_head_attention(q, k, v, scale: Optional[float] = None):
     if _is_tpu() and can_flash(n, m):
         return flash_attention_tpu(q, k, v, scale)
     return einsum_attention(q, k, v, scale)
+
+
+def multi_head_attention_bnhd(q, k, v, scale: Optional[float] = None):
+    """(B, N, H, D) layout attention — avoids the lane-breaking head
+    transpose.
+
+    head_dim is often 40 (SD1.5): transposing (B,N,H,40) puts 40 in the
+    lane dim and relayouts the tensor. The einsum path contracts directly
+    in bnhd; the flash path pads D to 128 lanes *first* so its transpose
+    is tile-aligned.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    n, m = q.shape[1], k.shape[1]
+    if _is_tpu() and can_flash(n, m):
+        d = q.shape[-1]
+        d_pad = ((d + _LANE - 1) // _LANE) * _LANE
+        if d_pad != d:
+            pad = [(0, 0), (0, 0), (0, 0), (0, d_pad - d)]
+            q = jnp.pad(q, pad)
+            k = jnp.pad(k, pad)
+            v = jnp.pad(v, pad)
+        out = flash_attention_tpu(q.transpose(0, 2, 1, 3),
+                                  k.transpose(0, 2, 1, 3),
+                                  v.transpose(0, 2, 1, 3), scale)
+        return out.transpose(0, 2, 1, 3)[..., :d]
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                      preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", attn, v)

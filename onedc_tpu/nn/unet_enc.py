@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .attention import multi_head_attention
+from .attention import multi_head_attention_bnhd
 from .blocks import GroupNorm, ResnetBlockVQ, upsample_nearest_2x
 
 
@@ -99,11 +99,11 @@ class SelfAttention2D(nn.Module):
         v = nn.Dense(c, name="to_v")(flat)
 
         def split(t):
-            return t.reshape(b, h * w, heads, self.head_dim).transpose(0, 2, 1, 3)
+            return t.reshape(b, h * w, heads, self.head_dim)
 
         q, k, v = split(q), split(k), split(v)
-        out = multi_head_attention(q, k, v, self.head_dim ** -0.5)
-        out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
+        out = multi_head_attention_bnhd(q, k, v, self.head_dim ** -0.5)
+        out = out.reshape(b, h * w, c)
         out = nn.Dense(c, name="to_out")(out)
         return out.reshape(b, h, w, c) + res
 

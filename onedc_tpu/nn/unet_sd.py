@@ -25,7 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .attention import multi_head_attention
+from .attention import multi_head_attention_bnhd
 from .blocks import GroupNorm
 from .unet_enc import (
     Downsample2D,
@@ -56,11 +56,11 @@ class CrossAttention(nn.Module):
         m = k.shape[1]
 
         def split(t, length):
-            return t.reshape(b, length, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+            return t.reshape(b, length, self.heads, self.head_dim)
 
         q, k, v = split(q, n), split(k, m), split(v, m)
-        out = multi_head_attention(q, k, v, self.head_dim ** -0.5)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        out = multi_head_attention_bnhd(q, k, v, self.head_dim ** -0.5)
+        out = out.reshape(b, n, inner)
         return nn.Dense(self.query_dim, name="to_out_0")(out)
 
 
