@@ -58,6 +58,14 @@ class OneDC(nn.Module):
     vae_scaling_factor: float = 0.18215
     conditioning_timestep: int = 999
     num_train_timesteps: int = 1000
+    # codeformer semantic distillation (stage-I only; ref
+    # model_..._stage1.py:91-101,241-262). The frozen MaskGIT-VQGAN
+    # tokenizes the half-res image; the Codeformer predicts those codes
+    # from y_semantic, distilling semantics into the hyperprior.
+    use_codeformer: bool = False
+    codeformer_codebook: int = 1024
+    codeformer_window: int = 16
+    vqgan_hidden: int = 128
 
     def setup(self):
         self.vae = AutoencoderKL(self.vae_block_channels, self.vae_ch,
@@ -73,6 +81,15 @@ class OneDC(nn.Module):
             z_fsq_levels=self.z_fsq_levels, z_only=self.z_only,
             force_zero_thres=self.force_zero_thres)
         self.alphas_cumprod = make_alphas_cumprod(self.num_train_timesteps)
+        if self.use_codeformer:
+            from ..nn.vqgan import MaskGitVQGAN
+            from .codeformer import Codeformer
+            self.codeformer = Codeformer(
+                in_ch=self.context_dim,
+                codebook_size=self.codeformer_codebook,
+                window_size=self.codeformer_window)
+            self.vqgan = MaskGitVQGAN(hidden=self.vqgan_hidden,
+                                      num_embeddings=self.codeformer_codebook)
 
     # -- VAE helpers (ref model_..._stage1.py:184-195) ----------------------
 
@@ -118,6 +135,24 @@ class OneDC(nn.Module):
                                        enc_dict["y_semantic"])
         enc_dict["x_latent"] = x_latent
         enc_dict["x_latent_recon"] = x0
+        if self.use_codeformer:
+            # semantic distillation (ref model_..._stage1.py:241-262):
+            # frozen VQGAN tokenizes the half-res image ([0,1] input);
+            # Codeformer predicts the codes from y_semantic. Gradients
+            # flow into both the codeformer AND the hyperprior branch.
+            from .codeformer import codeformer_losses
+            b, h, w, _ = image.shape
+            small = jax.image.resize(image, (b, h // 2, w // 2, 3),
+                                     method="bilinear")
+            quant, idx = self.vqgan.encode(small * 0.5 + 0.5)
+            quant = jax.lax.stop_gradient(quant)
+            idx = jax.lax.stop_gradient(idx)
+            logits, probs = self.codeformer(enc_dict["y_semantic"])
+            ce, mse = codeformer_losses(
+                logits, probs, idx, quant,
+                jax.lax.stop_gradient(self.vqgan.codebook()))
+            enc_dict["code_ce_loss"] = ce
+            enc_dict["code_mse_loss"] = mse
         return enc_dict, pred_image
 
     # -- encode/decode device halves ----------------------------------------

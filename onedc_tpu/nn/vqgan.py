@@ -110,6 +110,9 @@ class VectorQuantizer(nn.Module):
     def get_codebook_entry(self, indices):
         return self.embedding[indices]
 
+    def codebook(self):
+        return self.embedding
+
     def get_soft_code(self, h, temp: float = 1.0):
         flat = h.reshape(-1, self.embedding_dim)
         d = (jnp.sum(flat ** 2, 1, keepdims=True)
@@ -146,6 +149,10 @@ class MaskGitVQGAN(nn.Module):
 
     def __call__(self, x01):
         return self.encode(x01)
+
+    def codebook(self):
+        """(K, D) codebook matrix (for distillation MSE targets)."""
+        return self.quantize.codebook()
 
     def autoencode(self, x01):
         """encode -> decode; use as the init method so decoder params are

@@ -89,7 +89,9 @@ def create_train_state(model, params, lr: float = 5e-5,
 
 
 def make_train_step(model, loss: Optional[RDLoss] = None,
-                    remat: bool = False) -> Callable:
+                    remat: bool = False,
+                    codeformer_loss_weight: float = 1e-3,
+                    codeformer_mse_weight: float = 1e-2) -> Callable:
     """Returns step(state, batch, rng) -> (state, metrics). Jittable;
     shard batch over the mesh data axis for DP.
 
@@ -97,6 +99,11 @@ def make_train_step(model, loss: Optional[RDLoss] = None,
     matmul outputs, recomputing elementwise) — the reference's
     gradient-checkpointing equivalent (model_..._stage1.py:98-100),
     required to fit full-size 512px training in v5e HBM.
+
+    When the model runs with ``use_codeformer`` the semantic-distillation
+    terms are added with the reference weights
+    (train_sd15_codec_stage1.py:297-307; config: codeformer_loss_weight
+    1e-3, codeformer_mse_weight 1e-2).
     """
     if loss is None:
         loss = RDLoss()
@@ -120,6 +127,17 @@ def make_train_step(model, loss: Optional[RDLoss] = None,
             total, ld = loss(image, pred, enc_dict["bpp"],
                              step=state.step, training=True)
             ld["bpp_hard_y"] = enc_dict["bpp_hard_y"]
+            if "code_ce_loss" in enc_dict:
+                ce = enc_dict["code_ce_loss"]
+                mse = enc_dict["code_mse_loss"]
+                cf = ce + mse * codeformer_mse_weight
+                weighted = cf * codeformer_loss_weight
+                total = total + weighted
+                ld["codeformer_ce_loss"] = ce
+                ld["codeformer_mse_loss"] = mse
+                ld["codeformer_loss"] = cf
+                ld["weighted_codeformer_loss"] = weighted
+                ld["total_loss"] = total
             return total, ld
 
         (_, metrics), grads = jax.value_and_grad(

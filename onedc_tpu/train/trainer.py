@@ -51,7 +51,11 @@ class Trainer:
         img0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
         params = jax.jit(lambda x: self.model.init({"params": key}, x))(img0)
 
-        frozen = tuple(cfg.get("frozen", ("vae",)))
+        # the VQGAN tokenizer is a frozen distillation target
+        # (ref model_..._stage1.py:198-202); the codeformer itself trains
+        default_frozen = ("vae", "vqgan") if self.model.use_codeformer \
+            else ("vae",)
+        frozen = tuple(cfg.get("frozen", default_frozen))
         self.state = create_train_state(
             self.model, params,
             lr=float(cfg.get("lr", 5e-5)),
@@ -73,8 +77,16 @@ class Trainer:
         if cfg.get("lpips_weights"):
             from ..nn.lpips import make_lpips_fn
             lpips_fn = make_lpips_fn(cfg.lpips_weights)
+        elif cfg.get("allow_no_lpips", False):
+            log.warning("training WITHOUT the LPIPS term (allow_no_lpips): "
+                        "this is a materially different objective than the "
+                        "reference L1+LPIPS+lambda*bpp loss")
         else:
-            log.warning("training without LPIPS term (no lpips_weights)")
+            raise ValueError(
+                "no lpips_weights configured. The reference stage-1 loss is "
+                "L1 + LPIPS + lambda*bpp (src/losses/pixel_loss.py:51-89); "
+                "training without LPIPS silently changes the objective. "
+                "Set lpips_weights: <path> or allow_no_lpips: true.")
         self.loss = RDLoss(
             pix_weight=float(cfg.get("pix_weight", 1.0)),
             lpips_weight=float(cfg.get("lpips_weight", 1.0)),
@@ -83,7 +95,11 @@ class Trainer:
             lpips_fn=lpips_fn)
         self.step_fn = jax.jit(make_train_step(
             self.model, self.loss,
-            remat=bool(cfg.get("gradient_checkpointing", True))))
+            remat=bool(cfg.get("gradient_checkpointing", True)),
+            codeformer_loss_weight=float(
+                cfg.get("codeformer_loss_weight", 1e-3)),
+            codeformer_mse_weight=float(
+                cfg.get("codeformer_mse_weight", 1e-2))))
 
         # data
         self.batch_size = int(cfg.get("batch_size", 8))

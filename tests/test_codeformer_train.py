@@ -1,0 +1,77 @@
+"""Codeformer semantic distillation wired into stage-1 training.
+
+VERDICT round-1 item 2: the trainer must train the codeformer jointly
+(CE + MSE vs frozen VQGAN targets, ref model_sd15_with_codec_stage1.py
+:241-262 and train_sd15_codec_stage1.py:294-307).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onedc_tpu.models.onedc import OneDC
+from onedc_tpu.train.step import create_train_state, make_train_step
+
+TINY = dict(
+    internal_ch=64, bottleneck_ch=32, unet_ch_config=(32, 64, 64),
+    ctrl_ch=32, sd_block_channels=(32, 32, 64, 64), context_dim=64,
+    vae_block_channels=(32, 32, 64, 64), vae_attn_patch=4,
+    use_codeformer=True, codeformer_window=4, vqgan_hidden=32,
+)
+
+
+def _leaf_diff(a, b):
+    return sum(float(jnp.sum(jnp.abs(x - y)))
+               for x, y in zip(jax.tree_util.tree_leaves(a),
+                               jax.tree_util.tree_leaves(b)))
+
+
+def test_codeformer_losses_train_codeformer_and_freeze_vqgan():
+    model = OneDC(**TINY)
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (1, 128, 128, 3), minval=-1, maxval=1)
+    params = jax.jit(lambda x: model.init(
+        {"params": key}, x, training=True,
+        noise_rng=jax.random.PRNGKey(2)))(img)
+
+    # forward exposes the distillation losses
+    enc_dict, _ = jax.jit(
+        lambda p, x: model.apply(p, x, training=True,
+                                 noise_rng=jax.random.PRNGKey(2)))(
+        params, img)
+    assert float(enc_dict["code_ce_loss"]) > 0.0
+    assert float(enc_dict["code_mse_loss"]) > 0.0
+    # CE over a 1024-way codebook starts near ln(1024) ~ 6.93
+    assert 2.0 < float(enc_dict["code_ce_loss"]) < 20.0
+
+    state = create_train_state(model, params, lr=1e-3, warmup_steps=0,
+                               frozen=("vae", "vqgan"))
+    step = jax.jit(make_train_step(model))
+    new_state, metrics = step(state, {"image": img}, jax.random.PRNGKey(1))
+
+    for k in ("codeformer_ce_loss", "codeformer_mse_loss",
+              "weighted_codeformer_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    assert float(metrics["codeformer_ce_loss"]) > 0.0
+    # the weighted term is part of total_loss (weights 1e-3 / 1e-2)
+    expected = (metrics["codeformer_ce_loss"]
+                + 1e-2 * metrics["codeformer_mse_loss"]) * 1e-3
+    np.testing.assert_allclose(float(metrics["weighted_codeformer_loss"]),
+                               float(expected), rtol=1e-5)
+
+    p0, p1 = state.params["params"], new_state.params["params"]
+    # codeformer params moved (CE/MSE gradients reached them)
+    assert _leaf_diff(p0["codeformer"], p1["codeformer"]) > 0.0
+    # frozen targets did not
+    assert _leaf_diff(p0["vqgan"], p1["vqgan"]) == 0.0
+    assert _leaf_diff(p0["vae"], p1["vae"]) == 0.0
+    # distillation gradients also reach the codec's semantic branch
+    assert _leaf_diff(p0["codec"], p1["codec"]) > 0.0
+
+
+def test_codeformer_off_by_default():
+    model = OneDC(internal_ch=64, bottleneck_ch=32,
+                  unet_ch_config=(32, 64, 64), ctrl_ch=32,
+                  sd_block_channels=(32, 32, 64, 64), context_dim=64,
+                  vae_block_channels=(32, 32, 64, 64), vae_attn_patch=4)
+    assert not model.use_codeformer

