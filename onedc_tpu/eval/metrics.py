@@ -183,16 +183,46 @@ class FeatureStats:
         return np.concatenate(self.feats, 0)
 
 
-def compute_patch_fid(real_imgs, fake_imgs,
-                      feature_fn: Callable[[np.ndarray], np.ndarray],
-                      patch: int = 256) -> dict:
-    """Full patch-FID/KID over two image iterables ([-1,1] HWC arrays).
+def inception_score(logits: np.ndarray, splits: int = 10) -> Tuple[float, float]:
+    """Standard IS over class logits: exp(mean_split KL(p(y|x) || p(y))).
 
-    ``feature_fn`` maps a batch of uint8-range patches to feature vectors
-    (e.g. InceptionV3 pool3 when weights are available).
+    Matches torchmetrics' InceptionScore protocol (ref test_quality.py:14,
+    265-268): split the sample set, per split compute
+    mean_x KL(p(y|x)||mean_x p(y|x)), report mean/std of exp(KL).
     """
-    dim = None
+    logits = np.asarray(logits, np.float64)
+    logp = logits - logits.max(axis=1, keepdims=True)
+    p = np.exp(logp)
+    p /= p.sum(axis=1, keepdims=True)
+    n = len(p)
+    scores = []
+    for part in np.array_split(p, min(splits, n)):
+        marginal = part.mean(axis=0, keepdims=True)
+        kl = np.sum(part * (np.log(part + 1e-16)
+                            - np.log(marginal + 1e-16)), axis=1)
+        scores.append(np.exp(kl.mean()))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+def to_uint8_range(img01: np.ndarray) -> np.ndarray:
+    """[0,1] float image -> rounded 0..255 floats (the reference's
+    image_to_255_scale, test_quality.py:27-50)."""
+    return np.round(np.clip(img01, 0.0, 1.0) * 255.0)
+
+
+def compute_patch_fid(real_imgs, fake_imgs,
+                      feature_fn: Callable[[np.ndarray], dict],
+                      patch: int = 256) -> dict:
+    """Full patch-FID/KID/IS over two image iterables ([-1,1] HWC arrays).
+
+    ``feature_fn`` maps a batch of uint8-range (0..255) patches to
+    ``{"features": (N,D), "logits": (N,K)}`` (InceptionV3 pool3 + class
+    logits; see ``onedc_tpu/nn/inception.py``). IS is computed over the
+    fake patches only, matching the reference protocol
+    (test_quality.py:119-120,158-159).
+    """
     stats = {}
+    fake_logits: List[np.ndarray] = []
     for name, imgs in (("real", real_imgs), ("fake", fake_imgs)):
         st = None
         for img in imgs:
@@ -200,16 +230,25 @@ def compute_patch_fid(real_imgs, fake_imgs,
                        + extract_patches(img, patch, True))
             if not patches:
                 continue
-            feats = feature_fn(np.stack(patches))
+            out = feature_fn(to_uint8_range(
+                np.stack(patches) * 0.5 + 0.5))
+            feats = out["features"] if isinstance(out, dict) else out
             if st is None:
-                dim = feats.shape[1]
-                st = FeatureStats(dim)
+                st = FeatureStats(feats.shape[1])
             st.update(feats)
+            if name == "fake" and isinstance(out, dict) \
+                    and "logits" in out:
+                fake_logits.append(np.asarray(out["logits"]))
         stats[name] = st
     mu_r, cov_r = stats["real"].mean_cov()
     mu_f, cov_f = stats["fake"].mean_cov()
     fid = frechet_distance(mu_r, cov_r, mu_f, cov_f)
     kid_mean, kid_std = polynomial_kid(stats["real"].all_feats(),
                                        stats["fake"].all_feats())
-    return {"fid": fid, "kid_mean": kid_mean, "kid_std": kid_std,
-            "n_real": stats["real"].n, "n_fake": stats["fake"].n}
+    res = {"fid": fid, "kid_mean": kid_mean, "kid_std": kid_std,
+           "n_real": stats["real"].n, "n_fake": stats["fake"].n}
+    if fake_logits:
+        is_mean, is_std = inception_score(np.concatenate(fake_logits))
+        res["inception_mean"] = is_mean
+        res["inception_std"] = is_std
+    return res

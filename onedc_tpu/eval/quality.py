@@ -1,14 +1,16 @@
 """Quality harness: folder-vs-folder metric comparison.
 
-Counterpart of the reference ``src/test_quality.py``: PSNR / MS-SSIM per
-image + optional patch-FID/KID (Mentzer FID/256 protocol) aggregate, with
-per-image CSV and a summary CSV.
+Counterpart of the reference ``src/test_quality.py``: per image PSNR /
+MS-SSIM / LPIPS / DISTS + aggregate patch-FID / KID / Inception Score
+(Mentzer FID/256 protocol), with per-image + summary reports (CSV, or
+xlsx like the reference when an engine is installed).
 
-LPIPS / DISTS / FID require pretrained feature extractors (VGG16 /
-InceptionV3). In a zero-egress environment those weights must be provided
-on disk; pass ``--lpips_weights`` / ``--inception_weights`` to enable the
-corresponding metrics, otherwise they are skipped with a warning (the
-PSNR/MS-SSIM protocol matches the reference regardless).
+LPIPS / DISTS / FID / IS need pretrained feature weights (VGG16 /
+InceptionV3). In a zero-egress environment those must be provided on
+disk: pass ``--lpips_weights`` / ``--dists_weights`` /
+``--inception_weights`` (converted safetensors; see
+``nn/{lpips,dists,inception}.py`` converters). Metrics without weights
+are skipped with a warning; PSNR/MS-SSIM always run.
 
 Usage:
   python -m onedc_tpu.eval.quality --real_dir A --fake_dir B --out out.csv
@@ -43,7 +45,8 @@ def pair_folders(real_dir, fake_dir):
 
 
 def test_two_folders(real_dir, fake_dir, out_csv=None,
-                     lpips_fn=None, feature_fn=None, patch: int = 256):
+                     lpips_fn=None, feature_fn=None, dists_fn=None,
+                     patch: int = 256):
     pairs = pair_folders(real_dir, fake_dir)
     assert pairs, "no paired images"
 
@@ -61,6 +64,8 @@ def test_two_folders(real_dir, fake_dir, out_csv=None,
             row["ms_ssim"] = float(msssim_j(xb, yb)[0])
         if lpips_fn is not None:
             row["lpips"] = float(lpips_fn(xb, yb)[0])
+        if dists_fn is not None:
+            row["dists"] = float(dists_fn(xb, yb)[0])
         rows.append(row)
         log.info("%s %s", name,
                  {k: round(v, 4) for k, v in row.items() if k != "name"})
@@ -76,27 +81,55 @@ def test_two_folders(real_dir, fake_dir, out_csv=None,
         fakes = (load_image(fp) for _, _, fp in pairs)
         fid_res = compute_patch_fid(reals, fakes, feature_fn, patch)
         summary.update({"patch_fid": fid_res["fid"],
-                        "patch_kid": fid_res["kid_mean"]})
+                        "patch_kid": fid_res["kid_mean"],
+                        "patch_kid_std": fid_res["kid_std"]})
+        if "inception_mean" in fid_res:
+            summary["inception_mean"] = fid_res["inception_mean"]
+            summary["inception_std"] = fid_res["inception_std"]
     else:
-        log.warning("no feature extractor: FID/KID skipped "
+        log.warning("no feature extractor: FID/KID/IS skipped "
                     "(provide --inception_weights)")
 
     if out_csv:
-        import pandas as pd
-        pd.DataFrame(rows).to_csv(out_csv, index=False)
-        pd.DataFrame([summary]).to_csv(
-            str(out_csv).replace(".csv", "_summary.csv"), index=False)
+        _write_report(rows, summary, out_csv)
     log.info("summary: %s", {k: round(v, 5) for k, v in summary.items()})
     return summary, rows
+
+
+def _write_report(rows, summary, out_path):
+    """CSV always; .xlsx like the reference when an engine is available
+    (test_quality.py:296-302 emits quality_detail/summary xlsx)."""
+    import pandas as pd
+    out_path = str(out_path)
+    detail = pd.DataFrame(rows)
+    summ = pd.DataFrame([summary])
+    if out_path.endswith(".xlsx"):
+        try:
+            detail.to_excel(out_path, index=False)
+            summ.to_excel(out_path.replace(".xlsx", "_summary.xlsx"),
+                          index=False)
+            return
+        except (ImportError, ModuleNotFoundError):
+            log.warning("no xlsx engine installed; writing CSV instead")
+            out_path = out_path.replace(".xlsx", ".csv")
+    detail.to_csv(out_path, index=False)
+    summ.to_csv(out_path.replace(".csv", "_summary.csv"), index=False)
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--real_dir", required=True)
     parser.add_argument("--fake_dir", required=True)
-    parser.add_argument("--out", default="quality.csv")
+    parser.add_argument("--out", default="quality.csv",
+                        help=".csv or .xlsx (reference emits xlsx)")
     parser.add_argument("--lpips_weights", default=None)
-    parser.add_argument("--inception_weights", default=None)
+    parser.add_argument("--inception_weights", default=None,
+                        help="converted InceptionV3 safetensors "
+                             "(nn/inception.py:convert_torch_inception)")
+    parser.add_argument("--dists_weights", default=None,
+                        help="converted DISTS safetensors "
+                             "(nn/dists.py:convert_torch_dists)")
+    parser.add_argument("--patch", type=int, default=256)
     args = parser.parse_args(argv)
 
     lpips_fn = None
@@ -105,10 +138,15 @@ def main(argv=None):
         lpips_fn = make_lpips_fn(args.lpips_weights)
     feature_fn = None
     if args.inception_weights:
-        log.warning("InceptionV3 feature extractor not wired yet; "
-                    "patch-FID/KID skipped (protocol in eval/metrics.py)")
+        from ..nn.inception import make_inception_fn
+        feature_fn = make_inception_fn(args.inception_weights)
+    dists_fn = None
+    if args.dists_weights:
+        from ..nn.dists import make_dists_fn
+        dists_fn = make_dists_fn(args.dists_weights)
     test_two_folders(args.real_dir, args.fake_dir, args.out,
-                     lpips_fn=lpips_fn, feature_fn=feature_fn)
+                     lpips_fn=lpips_fn, feature_fn=feature_fn,
+                     dists_fn=dists_fn, patch=args.patch)
 
 
 if __name__ == "__main__":
