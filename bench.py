@@ -1,12 +1,17 @@
 """Headline benchmark: 768x768 one-step decodes per second per chip.
 
-Runs the full flagship decode device path (hyperprior expand -> four-part
-prior nets -> synthesis transform -> one-step SD UNet -> VAE decode) in
-bf16 on one chip and reports throughput against the BASELINE target of 20
-decodes/sec/chip (BASELINE.md "Rebuild target").
+Two paths, both full-flagship bf16 on one chip:
+
+- headline (z-only device path): hyperprior expand -> four-part prior
+  nets -> synthesis transform -> one-step SD UNet -> VAE decode.
+- lambda-family full decode (extra keys): real bitstream in, including
+  host rANS decode and the FOUR host<->device round trips of the
+  four-part prior (SURVEY.md section 3.2's serial hot loop), single and
+  batched (decode_batch shares the round trips across images).
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "lambda_decodes_per_sec": N, "lambda_batch_decodes_per_sec": N}
 """
 
 from __future__ import annotations
@@ -37,7 +42,9 @@ def main():
 
     from onedc_tpu.models.onedc import OneDC
 
-    model = OneDC()
+    # compute_dtype pins the whole decode pipeline to bf16: without it
+    # the f32 FSQ codes/x0 promote every downstream conv to f32
+    model = OneDC(compute_dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
 
     # init on a small spatial size (params are size-independent), then
@@ -74,12 +81,60 @@ def main():
     dt = (t_large - t_small) / (N_LARGE - N_SMALL) * ITERS
 
     decodes_per_sec = ITERS / dt
+
+    extra = {}
+    try:
+        extra = bench_lambda_decode(model, params)
+    except Exception as e:  # keep the headline alive if the host path trips
+        extra = {"lambda_bench_error": str(e)[:200]}
+
     print(json.dumps({
         "metric": f"{SIZE}x{SIZE} one-step decodes/sec/chip (bf16, device path)",
         "value": round(decodes_per_sec, 3),
         "unit": "decodes/s",
         "vs_baseline": round(decodes_per_sec / BASELINE_DECODES_PER_SEC, 3),
+        **extra,
     }))
+
+
+def bench_lambda_decode(model, params, n_streams: int = 8):
+    """Full lambda-family decode: bitstream -> image, timing the host rANS
+    + 4 prior round trips + device NN (VERDICT round-1 weak item 2)."""
+    import numpy as np
+
+    from onedc_tpu.models.onedc import OneDCRuntime
+
+    rt = OneDCRuntime(model, params)
+    rt.update(force=True)
+
+    key = jax.random.PRNGKey(7)
+    streams = []
+    for i in range(n_streams):
+        img = jax.random.uniform(jax.random.fold_in(key, i),
+                                 (1, SIZE, SIZE, 3), minval=-1, maxval=1)
+        stream, _ = rt.encode(img)
+        streams.append(bytes(stream))
+
+    # warm both compiled paths
+    rt.decode(stream=streams[0])
+    out = rt.decode_batch(streams)
+    jax.block_until_ready(out[0])
+
+    t0 = time.perf_counter()
+    for s in streams:
+        jax.block_until_ready(rt.decode(stream=s))
+    t_single = (time.perf_counter() - t0) / n_streams
+
+    t0 = time.perf_counter()
+    outs = rt.decode_batch(streams)
+    jax.block_until_ready(outs[0])
+    t_batch = (time.perf_counter() - t0) / n_streams
+
+    return {
+        "lambda_decodes_per_sec": round(1.0 / t_single, 3),
+        "lambda_batch_decodes_per_sec": round(1.0 / t_batch, 3),
+        "lambda_batch_size": n_streams,
+    }
 
 
 if __name__ == "__main__":

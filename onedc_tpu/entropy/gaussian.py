@@ -99,16 +99,34 @@ def _normal_cdf(x: np.ndarray, sigma: np.ndarray) -> np.ndarray:
     return 0.5 * (1.0 + sp_special.erf(x / (sigma * np.sqrt(2.0))))
 
 
-def build_gaussian_cdf_table(precision: int = 16):
+def build_gaussian_cdf_table(precision: int = 16, allow_vendored: bool = True):
     """Quantized CDF bank for the 256-entry scale table.
 
     Mirrors ``GaussianEncoder.update`` (entropy_models.py:313-353): per-scale
     support half-width = smallest i in [2, 50] with CDF(i) > 0.9999; PMF over
     [-c, c] plus a tail bucket of 2*CDF(-c-0.5).
 
+    Bitstream interop with the reference requires BIT-IDENTICAL tables on
+    both sides, and the reference computes PMFs with torch float32 erf —
+    which differs from a float64 computation by 1 ulp on ~5% of the scale
+    rows (enough to shift a dozen quantized CDF entries by 1). The default
+    therefore loads a vendored table captured from the reference's own
+    ``GaussianEncoder.update`` (data/gaussian_cdf16.npz; see
+    tests/test_reference_parity.py which re-derives and checks it). The
+    numpy computation below is the executable spec / fallback.
+
     Returns (quantized_cdf int32 [256, max_len+2], cdf_length int32, offset
     int32).
     """
+    if allow_vendored and precision == 16:
+        import os
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "data", "gaussian_cdf16.npz")
+        if os.path.exists(path):
+            d = np.load(path)
+            return (d["quantized_cdf"].astype(np.int32),
+                    d["cdf_length"].astype(np.int32),
+                    d["offset"].astype(np.int32))
     scales = scale_table(np.float64)
     centers = np.full(SCALE_LEVELS, 50, dtype=np.int64)
     for i in range(50, 1, -1):

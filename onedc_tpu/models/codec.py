@@ -214,9 +214,20 @@ class LatentCodec(nn.Module):
     z_fsq_levels: Sequence[int] = (4, 4, 4, 4, 4, 4, 4)
     force_zero_thres: Optional[float] = None
     z_only: bool = False  # extreme-low-bpp variant: y_hat = predicted means
+    # inference compute dtype (e.g. jnp.bfloat16). FSQ codes and inputs
+    # are f32 by construction; without an explicit cast flax's dtype
+    # promotion silently upgrades every downstream conv to f32 (round 1
+    # shipped that way -- the "bf16" decode ran mostly f32 on the MXU).
+    compute_dtype: Optional[Any] = None
 
     ds: int = 64       # padding granularity
     cond_ds: int = 8   # control-tensor stride
+
+    def _cast(self, *xs):
+        if self.compute_dtype is None:
+            return xs if len(xs) > 1 else xs[0]
+        out = tuple(x.astype(self.compute_dtype) for x in xs)
+        return out if len(out) > 1 else out[0]
 
     def setup(self):
         n = self.bottleneck_ch
@@ -308,9 +319,11 @@ class LatentCodec(nn.Module):
         coder and the FSQ indices for the z stream (ref codec_module.py:
         372-415).
         """
+        x, cond = self._cast(x, cond)
         y, sem = self.enc(x, cond)
         z = self.hyper_enc(y, sem)
         z_hat, z_indices = self.z_vq(z)
+        z_hat = self._cast(z_hat)
 
         params, z_semantic = self.hyper_dec(z_hat)
         params = self.y_prior_fusion(params)
@@ -335,7 +348,7 @@ class LatentCodec(nn.Module):
     #   finish:  y_hat -> (x_hat control, y_semantic)
 
     def decompress_begin(self, z_indices):
-        z_hat = self.z_vq.indices_to_codes(z_indices)
+        z_hat = self._cast(self.z_vq.indices_to_codes(z_indices))
         params, z_semantic = self.hyper_dec(z_hat)
         params = self.y_prior_fusion(params)
         scales, means = separate_prior(params)
@@ -356,6 +369,7 @@ class LatentCodec(nn.Module):
 
         `step` is a static Python int (0..3); each value compiles once.
         """
+        y_q_r = y_q_r.astype(means.dtype)
         b, h, w, c = means.shape
         masks = four_part_masks(h, w, c, means.dtype)
         y_hat = decompress_step_update(y_q_r, means, masks[step], y_hat_so_far)
@@ -374,7 +388,7 @@ class LatentCodec(nn.Module):
 
     # z-only decode: no y bitstream at all (ref z_only/codec_module.py)
     def decompress_z_only(self, z_indices):
-        z_hat = self.z_vq.indices_to_codes(z_indices)
+        z_hat = self._cast(self.z_vq.indices_to_codes(z_indices))
         params, z_semantic = self.hyper_dec(z_hat)
         params = self.y_prior_fusion(params)
         y_hat = forward_four_part_prior_recon_with_z(

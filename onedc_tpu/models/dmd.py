@@ -47,6 +47,13 @@ class ClsHead(nn.Module):
     @nn.compact
     def __call__(self, rep):
         c = self.channels
+        # production mid features are >= 8x8 (512px -> 8x8, 768px -> 12x12);
+        # smaller inputs (tiny test geometries) would reduce to an EMPTY
+        # spatial conv output and a NaN mean — pad them up to 8x8 instead
+        b, hh, ww, _ = rep.shape
+        if hh < 8 or ww < 8:
+            rep = jnp.pad(rep, ((0, 0), (0, max(0, 8 - hh)),
+                                (0, max(0, 8 - ww)), (0, 0)))
         h = nn.Conv(c, (4, 4), strides=(2, 2), padding=1, name="conv0")(rep)
         h = GroupNorm(32, 1e-5, name="norm0")(h)
         h = jax.nn.silu(h)

@@ -66,6 +66,10 @@ class OneDC(nn.Module):
     codeformer_codebook: int = 1024
     codeformer_window: int = 16
     vqgan_hidden: int = 128
+    # inference compute dtype (jnp.bfloat16 for serving); None keeps f32.
+    # Must be set on the MODEL (not only the params): FSQ codes/images are
+    # f32 sources and flax promotion would upgrade the whole pipeline.
+    compute_dtype: Optional[Any] = None
 
     def setup(self):
         self.vae = AutoencoderKL(self.vae_block_channels, self.vae_ch,
@@ -79,7 +83,8 @@ class OneDC(nn.Module):
             internal_ch=self.internal_ch, bottleneck_ch=self.bottleneck_ch,
             unet_ch_config=self.unet_ch_config,
             z_fsq_levels=self.z_fsq_levels, z_only=self.z_only,
-            force_zero_thres=self.force_zero_thres)
+            force_zero_thres=self.force_zero_thres,
+            compute_dtype=self.compute_dtype)
         self.alphas_cumprod = make_alphas_cumprod(self.num_train_timesteps)
         if self.use_codeformer:
             from ..nn.vqgan import MaskGitVQGAN
@@ -121,7 +126,11 @@ class OneDC(nn.Module):
         t = jnp.full((b,), self.conditioning_timestep, jnp.int32)
         eps, reduced = self.unet(x_hat, t, tokens)
         x0 = get_x0_from_noise(reduced, eps, self.alphas_cumprod, t)
-        return self.vae_decode_image(x0), x0
+        # x0 stays f32 (tiny alpha-bar at t=999 -> precision-critical,
+        # see nn/diffusion.py), but the VAE decode runs in the pipeline's
+        # working dtype (bf16 at inference): round 1 silently promoted
+        # the whole VAE decoder to f32 through this boundary.
+        return self.vae_decode_image(x0.astype(x_hat.dtype)), x0
 
     # -- training forward (ref model_..._stage1.py:233-272) ------------------
 
@@ -193,13 +202,15 @@ class OneDCRuntime:
         the counterpart of the reference's bf16 autocast context
         (model_..._stage1.py:117). Compress and decompress run the same
         program, so quantization decisions stay consistent."""
-        self.model = model
         if dtype is not None:
             params = jax.tree_util.tree_map(
                 lambda x: x.astype(dtype)
                 if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
                 params)
-        self.dtype = dtype
+            if model.compute_dtype != dtype:
+                model = model.clone(compute_dtype=dtype)
+        self.model = model
+        self.dtype = dtype if dtype is not None else model.compute_dtype
         self.params = params
         codec_def = LatentCodec(
             cond_ch=model.vae_ch, ctrl_ch=model.ctrl_ch,
@@ -207,7 +218,8 @@ class OneDCRuntime:
             bottleneck_ch=model.bottleneck_ch,
             unet_ch_config=model.unet_ch_config,
             z_fsq_levels=model.z_fsq_levels, z_only=model.z_only,
-            force_zero_thres=model.force_zero_thres)
+            force_zero_thres=model.force_zero_thres,
+            compute_dtype=model.compute_dtype)
         # reuse CodecRuntime's entropy-coder machinery with our params
         # scoped to the codec submodule
         self._codec_rt = CodecRuntime(
@@ -230,8 +242,9 @@ class OneDCRuntime:
         return jnp.pad(image, ((0, 0), (pt, pb), (pl, pr), (0, 0)),
                        mode="edge")
 
-    def encode(self, image, fp=None):
-        """image (1,H,W,3) in [-1,1] -> (stream bytes, bpp dict)."""
+    def encode(self, image, fp=None, caption: str = ""):
+        """image (1,H,W,3) in [-1,1] -> (stream bytes, bpp dict).
+        ``caption`` rides the container (ref entropy/utils.py:95-105)."""
         _, h, w, _ = image.shape
         pad = get_padding_size(h, w, self.ds)
         if self.dtype is not None:
@@ -242,7 +255,7 @@ class OneDCRuntime:
         rt = self._codec_rt
         if self.model.z_only:
             return rt.encode_z_only(out["z_indices"], w, h, fp=fp)
-        return rt.write_streams(out, w, h, fp)
+        return rt.write_streams(out, w, h, fp, caption=caption)
 
     def decode(self, fp=None, stream: Optional[bytes] = None):
         """Stream/file -> reconstructed image (1,H,W,3) in [-1,1]."""
@@ -260,82 +273,102 @@ class OneDCRuntime:
         else:
             assert rt.entropy_coder is not None, "call update() first"
             rt.entropy_coder.set_stream(dec["bit_stream_y"])
-            thres = self.model.force_zero_thres
-            st = rt._begin(rt.params, z_indices)
-            y_hat, means, common = st["y_hat"], st["means"], st["common"]
-            scales_r = st["scales_r"]
-            for step in range(4):
-                y_q_r = rt.gaussian_coder.decode_stream(
-                    np.asarray(scales_r), skip_thres=thres)
-                nxt = rt._update[step](rt.params, jnp.asarray(y_q_r),
-                                       means, y_hat, common)
-                y_hat, means, scales_r = (nxt["y_hat"], nxt["means"],
-                                          nxt["scales_r"])
-            pred = self._decode_dev(self.params, y_hat, st["z_semantic"])
+            y_hat, z_semantic = rt.run_four_part_decode(
+                z_indices, [rt.gaussian_coder])
+            pred = self._decode_dev(self.params, y_hat, z_semantic)
 
         pl, pr, pt, pb = dec["pad_tuple"]
         h, w = dec["pad_height"] - pt - pb, dec["pad_width"] - pl - pr
         return pred[:, pt:pt + h, pl:pl + w, :].astype(jnp.float32)
 
-    # -- batched decode (serving path) ---------------------------------------
+    # -- batched encode/decode (serving + tiled 4K paths) ---------------------
 
-    def decode_batch(self, streams):
+    def _batch_sharding(self, mesh):
+        if mesh is None:
+            return None, 1
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import DATA_AXIS
+        return (NamedSharding(mesh, P(DATA_AXIS)),
+                mesh.shape[DATA_AXIS])
+
+    @staticmethod
+    def _pad_batch(arr, multiple: int):
+        n = arr.shape[0]
+        rem = (-n) % multiple
+        if rem:
+            arr = np.concatenate([arr, np.repeat(arr[-1:], rem, axis=0)])
+        return arr
+
+    def encode_batch(self, images, mesh=None):
+        """Encode N same-size images/tiles as ONE device batch (optionally
+        sharded over the mesh data axis), then write one container per
+        image on the host. Returns a list of (stream, bpp_dict)."""
+        rt = self._codec_rt
+        n, h, w, _ = images.shape
+        pad = get_padding_size(h, w, self.ds)
+        images = jnp.asarray(images)
+        if self.dtype is not None:
+            images = images.astype(self.dtype)
+        batch = np.asarray(self._pad_replicate(images, pad))
+
+        sharding, mult = self._batch_sharding(mesh)
+        batch = self._pad_batch(batch, mult)
+        batch = jnp.asarray(batch)
+        if sharding is not None:
+            batch = jax.device_put(batch, sharding)
+        out = self._encode_dev(self.params, batch)
+
+        results = []
+        for i in range(n):
+            if self.model.z_only:
+                results.append(rt.encode_z_only(out["z_indices"][i:i + 1],
+                                                w, h))
+            else:
+                per = {
+                    "y_q_w": [a[i:i + 1] for a in out["y_q_w"]],
+                    "scales_w": [a[i:i + 1] for a in out["scales_w"]],
+                    "z_indices": out["z_indices"][i:i + 1],
+                }
+                results.append(rt.write_streams(per, w, h))
+        return results
+
+    def decode_batch(self, streams, mesh=None):
         """Decode N same-padded-size bitstreams as one device batch.
 
         The four-part prior forces 4 host<->device round trips per decode
-        (SURVEY.md section 3.2); batching shares them across images, and
-        the per-stream rANS decodes run on a thread pool (the C++ calls
-        drop the GIL). Returns a list of (1,H,W,3) images.
+        (SURVEY.md section 3.2); batching shares them across images, the
+        per-stream rANS decodes run on a thread pool, and with ``mesh``
+        the device batch is sharded over the data axis (tiles/images ride
+        separate chips). Returns a list of (1,H,W,3) images.
         """
-        from concurrent.futures import ThreadPoolExecutor
-
-        from ..entropy.coder import EntropyCoder
-        from ..entropy.framing import decode_i
-        from ..entropy.gaussian import GaussianConditionalCoder
-
         rt = self._codec_rt
         n = len(streams)
+        from ..entropy.framing import decode_i
         decs = [decode_i(s, rt.fsq.index_bits, self.ds) for s in streams]
         pad_hw = {(d["pad_height"], d["pad_width"]) for d in decs}
         assert len(pad_hw) == 1, f"mixed padded sizes: {pad_hw}"
         ph, pw = pad_hw.pop()
         zh, zw = ph // self.ds, pw // self.ds
 
-        z_indices = jnp.asarray(np.stack([
+        z_indices = np.stack([
             rt.fsq.unpack_indices(d["bit_stream_z"], zh * zw).reshape(zh, zw)
-            for d in decs]))
+            for d in decs])
+        sharding, mult = self._batch_sharding(mesh)
+        z_indices = self._pad_batch(z_indices, mult)
 
         if self.model.z_only:
-            preds = self._decode_z_only(self.params, z_indices)
+            zi = jnp.asarray(z_indices)
+            if sharding is not None:
+                zi = jax.device_put(zi, sharding)
+            preds = self._decode_z_only(self.params, zi)
         else:
-            assert rt.entropy_coder is not None, "call update() first"
-            cdf_info = rt.gaussian_coder.get_cdf_info()
-            coders = []
-            for d in decs:
-                ec = EntropyCoder()
-                gc = GaussianConditionalCoder()
-                gc.set_cdf_info(*cdf_info)
-                gc.entropy_coder = ec
-                gc.cdf_group_index = ec.add_cdf(*cdf_info)
-                ec.set_stream(d["bit_stream_y"])
-                coders.append(gc)
-
-            thres = self.model.force_zero_thres
-            st = rt._begin(rt.params, z_indices)
-            y_hat, means, common = st["y_hat"], st["means"], st["common"]
-            scales_r = st["scales_r"]
-            with ThreadPoolExecutor(max_workers=min(n, 16)) as pool:
-                for step in range(4):
-                    sc = np.asarray(scales_r)
-                    parts = list(pool.map(
-                        lambda i: coders[i].decode_stream(
-                            sc[i], skip_thres=thres), range(n)))
-                    y_q_r = jnp.asarray(np.stack(parts))
-                    nxt = rt._update[step](rt.params, y_q_r, means, y_hat,
-                                           common)
-                    y_hat, means, scales_r = (nxt["y_hat"], nxt["means"],
-                                              nxt["scales_r"])
-            preds = self._decode_dev(self.params, y_hat, st["z_semantic"])
+            coders = rt.make_stream_coders([d["bit_stream_y"] for d in decs])
+            # padded rows replay the last real stream (same CDFs/shape)
+            coders += [rt.make_stream_coders([decs[-1]["bit_stream_y"]])[0]
+                       for _ in range(len(z_indices) - n)]
+            y_hat, z_semantic = rt.run_four_part_decode(
+                z_indices, coders, sharding=sharding)
+            preds = self._decode_dev(self.params, y_hat, z_semantic)
 
         out = []
         for i, d in enumerate(decs):

@@ -73,15 +73,19 @@ class CodecRuntime:
     # -- encode -------------------------------------------------------------
 
     def encode(self, x, cond, pic_width: int, pic_height: int,
-               fp=None) -> Tuple[bytes, Dict[str, float]]:
+               fp=None, caption: str = "") -> Tuple[bytes, Dict[str, float]]:
         """x: (1,H,W,3) padded to x64, cond: (1,H/8,W/8,4). Returns
         (container bytes, bpp dict) — ref codec_module.py:316-353."""
         out = self._compress(self.params, x, cond)
-        return self.write_streams(out, pic_width, pic_height, fp)
+        return self.write_streams(out, pic_width, pic_height, fp,
+                                  caption=caption)
 
     def write_streams(self, out: Dict[str, Any], pic_width: int,
-                      pic_height: int, fp=None) -> Tuple[bytes, Dict[str, float]]:
-        """Host half of encode: rANS-code the write plan + frame the container."""
+                      pic_height: int, fp=None,
+                      caption: str = "") -> Tuple[bytes, Dict[str, float]]:
+        """Host half of encode: rANS-code the write plan + frame the
+        container. ``caption`` rides the bitstream per the reference spec
+        (entropy/utils.py:95-105; used by stage-2 guidance)."""
         assert self.entropy_coder is not None, "call update() first"
         self.entropy_coder.reset()
         thres = self.codec.force_zero_thres
@@ -93,10 +97,12 @@ class CodecRuntime:
         bit_stream_y = self.entropy_coder.get_encoded_stream()
         bit_stream_z = self.fsq.pack_indices(np.asarray(out["z_indices"]))
 
+        caption_bytes = caption.encode("utf-8") if caption else b""
         total = encode_i(
             pic_height=pic_height, pic_width=pic_width,
             bit_stream_y=bit_stream_y, bit_stream_z=bit_stream_z,
-            bit_stream_caption="", caption_length=0)
+            bit_stream_caption=caption_bytes,
+            caption_length=len(caption_bytes))
         if fp:
             write_to_file(total, fp)
             file_size = filesize(fp)
@@ -106,15 +112,16 @@ class CodecRuntime:
         pixel_num = pic_height * pic_width
         bits_y = len(bit_stream_y) * 8
         bits_z = len(bit_stream_z) * 8
+        bits_caption = len(caption_bytes) * 8
         bits_total = len(total) * 8
         return total, {
             "bits_y": bits_y,
             "bits_z": bits_z,
-            "bits_caption": 0,
+            "bits_caption": bits_caption,
             "bits_total": bits_total,
             "bpp_y": bits_y / pixel_num,
             "bpp_z": bits_z / pixel_num,
-            "bpp_caption": 0.0,
+            "bpp_caption": bits_caption / pixel_num,
             "bpp": bits_total / pixel_num,
             "bpp_file": file_size * 8 / pixel_num,
         }
@@ -141,6 +148,66 @@ class CodecRuntime:
 
     # -- decode -------------------------------------------------------------
 
+    def make_stream_coders(self, y_streams):
+        """One GaussianConditionalCoder per y-bitstream, sharing this
+        runtime's CDF tables (for batched decode)."""
+        assert self.entropy_coder is not None, "call update() first"
+        cdf_info = self.gaussian_coder.get_cdf_info()
+        coders = []
+        for ys in y_streams:
+            ec = EntropyCoder()
+            gc = GaussianConditionalCoder()
+            gc.set_cdf_info(*cdf_info)
+            gc.entropy_coder = ec
+            gc.cdf_group_index = ec.add_cdf(*cdf_info)
+            ec.set_stream(ys)
+            coders.append(gc)
+        return coders
+
+    def run_four_part_decode(self, z_indices, coders, sharding=None):
+        """THE four-step host loop, shared by every decode flavor: rANS
+        decode of part i feeds the prior net of part i+1 (ref
+        compression_model.py:369-407). ``coders``: one per batch item;
+        per-stream rANS decodes ride a thread pool (the C++ calls drop
+        the GIL). ``sharding``: optional NamedSharding to place device
+        arrays (batch over the mesh data axis).
+
+        Returns (y_hat, z_semantic).
+        """
+        thres = self.codec.force_zero_thres
+        n = len(coders)
+        assert z_indices.shape[0] == n, (z_indices.shape, n)
+
+        def put(a):
+            return jax.device_put(a, sharding) if sharding is not None else a
+
+        st = self._begin(self.params, put(jnp.asarray(z_indices)))
+        y_hat, means, common = st["y_hat"], st["means"], st["common"]
+        scales_r = st["scales_r"]
+
+        if n == 1:
+            for step in range(4):
+                y_q_r = coders[0].decode_stream(np.asarray(scales_r),
+                                                skip_thres=thres)
+                nxt = self._update[step](self.params, jnp.asarray(y_q_r),
+                                         means, y_hat, common)
+                y_hat, means = nxt["y_hat"], nxt["means"]
+                scales_r = nxt["scales_r"]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(n, 16)) as pool:
+                for step in range(4):
+                    sc = np.asarray(scales_r)
+                    parts = list(pool.map(
+                        lambda i: coders[i].decode_stream(
+                            sc[i], skip_thres=thres), range(n)))
+                    y_q_r = put(jnp.asarray(np.stack(parts)))
+                    nxt = self._update[step](self.params, y_q_r, means,
+                                             y_hat, common)
+                    y_hat, means = nxt["y_hat"], nxt["means"]
+                    scales_r = nxt["scales_r"]
+        return y_hat, st["z_semantic"]
+
     def decode(self, fp=None, stream: Optional[bytes] = None):
         """Returns (x_hat control tensor, y_semantic, orig_HW, pad_HW,
         pad_tuple) — ref codec_module.py:356-369."""
@@ -159,20 +226,9 @@ class CodecRuntime:
         else:
             assert self.entropy_coder is not None, "call update() first"
             self.entropy_coder.set_stream(dec["bit_stream_y"])
-            thres = self.codec.force_zero_thres
-
-            st = self._begin(self.params, z_indices)
-            y_hat, means, common = st["y_hat"], st["means"], st["common"]
-            scales_r = st["scales_r"]
-            for step in range(4):
-                y_q_r = self.gaussian_coder.decode_stream(
-                    np.asarray(scales_r), skip_thres=thres)
-                nxt = self._update[step](
-                    self.params, jnp.asarray(y_q_r), means, y_hat, common)
-                y_hat, means = nxt["y_hat"], nxt["means"]
-                scales_r = nxt["scales_r"]
-            x_hat, y_semantic = self._finish(self.params, y_hat,
-                                             st["z_semantic"])
+            y_hat, z_semantic = self.run_four_part_decode(
+                z_indices, [self.gaussian_coder])
+            x_hat, y_semantic = self._finish(self.params, y_hat, z_semantic)
 
         orig_hw = (dec["height"], dec["width"])
         pad_hw = (dec["pad_height"], dec["pad_width"])

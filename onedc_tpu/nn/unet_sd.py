@@ -8,7 +8,8 @@ architecture with the OneDC modifications (ref ``decoder_unet.py:371-408``):
   latent" from the control tensor (decoder_unet.py:14-29, 98-100)
 - forward returns ``(eps_prediction, reduced_sample)`` (decoder_unet.py:305)
 - LoRA is merged into the base weights at load time (we never train the
-  adapter separately at inference), see ``onedc_tpu/nn/lora.py``.
+  adapter separately at inference), see
+  ``onedc_tpu/utils/port_torch.py:merge_lora``.
 
 Cross-attention conditions on the (H/64 * W/64, 768) semantic tokens from
 the hyperprior instead of text. Attention runs in the model dtype with

@@ -22,12 +22,35 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.pallas_conv import affine_silu_conv3x3
 from .attention import multi_head_attention
 from .blocks import GroupNorm, upsample_nearest_2x
 
 
+class Conv2dParams(nn.Module):
+    """Parameter container with nn.Conv's names/init, for ops that
+    consume raw (kernel, bias) — e.g. the fused GN+SiLU+conv kernel."""
+
+    in_ch: int
+    out_ch: int
+    kernel: Tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (*self.kernel, self.in_ch, self.out_ch))
+        b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        return k, b
+
+
 class VaeResnetBlock(nn.Module):
-    """diffusers vae ResnetBlock2D (no time embedding)."""
+    """diffusers vae ResnetBlock2D (no time embedding).
+
+    The norm -> silu -> conv pairs run through the fused
+    ``affine_silu_conv3x3`` (Pallas input-staging fusion on TPU at
+    supported shapes, identical XLA composition elsewhere). Param tree is
+    unchanged: norm1/norm2 GroupNorm + conv1/conv2 kernel/bias.
+    """
 
     out_ch: int
     eps: float = 1e-6
@@ -35,12 +58,14 @@ class VaeResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        h = GroupNorm(32, self.eps, name="norm1")(x)
-        h = jax.nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, name="conv1")(h)
-        h = GroupNorm(32, self.eps, name="norm2")(h)
-        h = jax.nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, name="conv2")(h)
+        m1, a1 = GroupNorm(32, self.eps, name="norm1")(
+            x, return_affine=True)
+        k1, b1 = Conv2dParams(in_ch, self.out_ch, name="conv1")()
+        h = affine_silu_conv3x3(x, m1, a1, k1, b1)
+        m2, a2 = GroupNorm(32, self.eps, name="norm2")(
+            h, return_affine=True)
+        k2, b2 = Conv2dParams(self.out_ch, self.out_ch, name="conv2")()
+        h = affine_silu_conv3x3(h, m2, a2, k2, b2)
         if in_ch != self.out_ch:
             x = nn.Conv(self.out_ch, (1, 1), name="conv_shortcut")(x)
         return x + h

@@ -53,30 +53,38 @@ def _ramp_weight(tile: int, overlap: int) -> np.ndarray:
 
 
 class TiledCodec:
-    """Wraps an OneDCRuntime with tile-parallel high-res coding."""
+    """Wraps an OneDCRuntime with tile-parallel high-res coding.
 
-    def __init__(self, runtime, tile: int = 768, overlap: int = 64):
+    All tiles share one padded shape by construction, so the NN halves of
+    encode and decode run as ONE device batch (``encode_batch`` /
+    ``decode_batch``); with a ``mesh`` the tile batch is sharded over the
+    ``data`` axis and tiles ride separate chips. Host rANS per tile runs
+    on a thread pool inside decode_batch.
+    """
+
+    def __init__(self, runtime, tile: int = 768, overlap: int = 64,
+                 mesh=None):
         assert tile % runtime.ds == 0 and overlap % 2 == 0
         self.rt = runtime
         self.tile = tile
         self.overlap = overlap
+        self.mesh = mesh
 
     # -- encode -------------------------------------------------------------
 
     def encode(self, image, fp=None) -> Tuple[bytes, dict]:
         """image (1,H,W,3). Each tile becomes an independent bitstream;
-        the tile loop batches device work per tile (host rANS is serial)."""
+        the tile NN work runs as one (sharded) device batch."""
         _, h, w, _ = image.shape
         if max(h, w) <= self.tile:
             return self.rt.encode(image, fp=fp)
         corners = plan_tiles(h, w, self.tile, self.overlap)
-        streams = []
-        bits_total = 0
-        for (ty, tx) in corners:
-            til = image[:, ty:ty + self.tile, tx:tx + self.tile, :]
-            s, bpp = self.rt.encode(til)
-            streams.append(s)
-            bits_total += bpp["bits_total"]
+        tiles = np.stack([
+            np.asarray(image[0, ty:ty + self.tile, tx:tx + self.tile, :])
+            for (ty, tx) in corners])
+        results = self.rt.encode_batch(jnp.asarray(tiles), mesh=self.mesh)
+        streams = [bytes(s) for s, _ in results]
+        bits_total = sum(b["bits_total"] for _, b in results)
 
         rows = len({c[0] for c in corners})
         cols = len({c[1] for c in corners})
@@ -110,14 +118,17 @@ class TiledCodec:
 
         corners = plan_tiles(h, w, tile, self.overlap)
         assert len(corners) == n, (len(corners), n)
+        subs = []
+        for ln in lengths:
+            subs.append(data[off:off + ln])
+            off += ln
+        tiles = self.rt.decode_batch(subs, mesh=self.mesh)
+
         acc = np.zeros((h, w, 3), np.float32)
         wacc = np.zeros((h, w, 1), np.float32)
         weight = _ramp_weight(tile, self.overlap)[:, :, None]
-        for (ty, tx), ln in zip(corners, lengths):
-            sub = data[off:off + ln]
-            off += ln
-            til = np.asarray(self.rt.decode(stream=sub)[0])
-            acc[ty:ty + tile, tx:tx + tile] += til * weight
+        for (ty, tx), til in zip(corners, tiles):
+            acc[ty:ty + tile, tx:tx + tile] += np.asarray(til[0]) * weight
             wacc[ty:ty + tile, tx:tx + tile] += weight
         out = acc / np.maximum(wacc, 1e-8)
         return jnp.asarray(out)[None]

@@ -228,6 +228,32 @@ _VAE_RULES: List[Rule] = [
      r"\1/\2_\3/upsamplers_0."),
 ]
 
+# Swin blocks (ref blocks/swin.py:134-196): attention_block -> attn,
+# FeedForward net indices -> mlp_0/mlp_2; the shifted blocks' additive
+# masks are recomputed statically on our side (skip at the call sites).
+_SWIN_RULES: List[Rule] = [
+    (r"\.attention_block\.", r"/attn/"),
+    (r"\.mlp_block\.net\.0\.", r"/mlp_0."),
+    (r"\.mlp_block\.net\.2\.", r"/mlp_2."),
+]
+
+# Codeformer (ref codec_module.py:472-503): up_sample Sequential ->
+# up_block0/up_expand/up_block1, blocks.N -> swinN, mlp_head Sequential
+# -> head_0/head_norm0/head_3/head_norm1/head_out.
+_CODEFORMER_RULES: List[Rule] = [
+    (r"^up_sample\.0", r"up_block0"),
+    (r"^up_sample\.1\.", r"up_expand."),
+    (r"^up_sample\.3", r"up_block1"),
+    (r"^blocks\.(\d)\.", r"swin\1/"),
+    (r"^mlp_head\.0\.", r"head_0."),
+    (r"^mlp_head\.1\.", r"head_norm0."),
+    (r"^mlp_head\.3\.", r"head_3."),
+    (r"^mlp_head\.4\.", r"head_norm1."),
+    (r"^mlp_head\.6\.", r"head_out."),
+] + _SWIN_RULES + _DCVC_RULES
+
+_SWIN_SKIP = (r"upper_lower_mask", r"left_right_mask", r"relative_indices")
+
 _VQGAN_RULES: List[Rule] = [
     (r"^quantize\.embedding\.weight$", r"quantize/embedding"),
     (r"^(encoder|decoder)\.conv_in\.", r"\1/conv_in."),
@@ -258,12 +284,24 @@ def _finalize(name: str) -> str:
 
 def port_state_dict(state: Dict[str, np.ndarray], rules: List[Rule],
                     strict: bool = True,
-                    skip: Tuple[str, ...] = ()) -> Dict[str, np.ndarray]:
+                    skip: Tuple[str, ...] = (),
+                    raw_keys: Tuple[str, ...] = ()) -> Dict[str, np.ndarray]:
     """Apply rules + layout transforms. Returns flat {path: array} with
-    '/'-joined keys ready for ``unflatten_params``."""
+    '/'-joined keys ready for ``unflatten_params``.
+
+    ``raw_keys``: regex patterns of torch names stored verbatim (no
+    transpose, no kernel/bias leaf) — e.g. nn.Embedding weights, whose
+    (K, D) layout must survive despite the ``.weight`` suffix.
+    """
     flat: Dict[str, np.ndarray] = {}
     for key, arr in state.items():
         if any(re.search(s, key) for s in skip):
+            continue
+        if any(re.search(p, key) for p in raw_keys):
+            stem = key[:-len(".weight")] if key.endswith(".weight") else key
+            renamed = _finalize(
+                _apply_rules(stem + ".", rules + _GENERIC_RULES).rstrip("./"))
+            flat[renamed] = np.asarray(arr)
             continue
         leaf, val = _to_flax(key, np.asarray(arr))
         stem = key
@@ -305,12 +343,24 @@ def port_vae_state(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 
 def port_vqgan_state(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    return port_state_dict(state, _VQGAN_RULES)
+    # quantize.embedding is an nn.Embedding weight: (K, D) stays as-is
+    return port_state_dict(state, _VQGAN_RULES,
+                           raw_keys=(r"^quantize\.embedding\.weight$",))
+
+
+def port_codeformer_state(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Codeformer checkpoint (ref codec_module.py:472-503 naming) ->
+    our models/codeformer.py tree. Swin pos_embedding stays (ws^2, ws^2)
+    untransposed; the shifted-window additive masks are static on our
+    side and skipped."""
+    return port_state_dict(state, _CODEFORMER_RULES, skip=_SWIN_SKIP,
+                           raw_keys=(r"\.pos_embedding$",))
 
 
 def port_onedc_checkpoint(unet_path: Optional[str] = None,
                           codec_path: Optional[str] = None,
                           vae_path: Optional[str] = None,
+                          codeformer_path: Optional[str] = None,
                           reference_params=None):
     """Assemble a full OneDC param tree from reference checkpoint files.
 
@@ -342,4 +392,6 @@ def port_onedc_checkpoint(unet_path: Optional[str] = None,
         fill("codec", port_codec_state(load_file(codec_path)))
     if vae_path:
         fill("vae", port_vae_state(load_file(vae_path)))
+    if codeformer_path:
+        fill("codeformer", port_codeformer_state(load_file(codeformer_path)))
     return unflatten_params(out)

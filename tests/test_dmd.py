@@ -86,7 +86,9 @@ def test_two_turn_steps(guidance_setup):
                   sd_block_channels=(32, 32, 64, 64), context_dim=64,
                   vae_block_channels=(32, 32, 64, 64), vae_attn_patch=4)
     key = jax.random.PRNGKey(0)
-    img = jax.random.uniform(key, (1, 512, 512, 3), minval=-1, maxval=1)
+    # 128px keeps the CPU compile/runtime small; ClsHead pads tiny mid
+    # features so the GAN losses stay well-defined
+    img = jax.random.uniform(key, (1, 128, 128, 3), minval=-1, maxval=1)
     onedc_params = jax.jit(
         lambda x: onedc.init({"params": key}, x))(img[:, :64, :64])
 
@@ -99,7 +101,7 @@ def test_two_turn_steps(guidance_setup):
                                     {"image": img}, ctx, ctx,
                                     jax.random.PRNGKey(5))
     assert np.isfinite(float(gmet["gen_total"]))
-    assert aux["fake_latents"].shape == (1, 64, 64, 4)
+    assert aux["fake_latents"].shape == (1, 16, 16, 4)
 
     guid_state, qmet = guid_step(guid_state, aux["fake_latents"],
                                  aux["real_latents"], ctx, ctx,
@@ -114,3 +116,55 @@ def test_two_turn_steps(guidance_setup):
     assert jnp.array_equal(
         jax.tree_util.tree_leaves(guid_state.params["params"]["real_unet"])[0],
         jax.tree_util.tree_leaves(guid_params["params"]["real_unet"])[0])
+
+
+@pytest.mark.slow
+def test_two_turn_steps_sharded_mesh(guidance_setup):
+    """Stage-2 two-turn step with the batch sharded over the 8-device
+    mesh and FSDP-sharded guidance state (VERDICT round-1 item 7)."""
+    from onedc_tpu.models.onedc import OneDC
+    from onedc_tpu.parallel.fsdp import shard_state
+    from onedc_tpu.parallel.mesh import batch_sharding, make_mesh
+    from onedc_tpu.train.trainer_stage2 import (
+        create_stage2_states,
+        make_generator_step,
+        make_guidance_step,
+    )
+
+    g, guid_params, _, ctx = guidance_setup
+    onedc = OneDC(internal_ch=64, bottleneck_ch=32,
+                  unet_ch_config=(32, 64, 64), ctrl_ch=32,
+                  sd_block_channels=(32, 32, 64, 64), context_dim=64,
+                  vae_block_channels=(32, 32, 64, 64), vae_attn_patch=4)
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (8, 64, 64, 3), minval=-1, maxval=1)
+    onedc_params = jax.jit(
+        lambda x: onedc.init({"params": key}, x))(img[:1])
+
+    mesh = make_mesh(jax.devices("cpu")[:8])
+    gen_state, guid_state = create_stage2_states(
+        onedc, onedc_params, g, guid_params)
+    guid_state = shard_state(mesh, guid_state)
+
+    bs = batch_sharding(mesh)
+    img = jax.device_put(img, bs)
+    ctx8 = jax.device_put(jnp.tile(ctx, (8, 1, 1)), bs)
+
+    gen_step = jax.jit(make_generator_step(onedc, g))
+    guid_step = jax.jit(make_guidance_step(g))
+    with mesh:
+        gen_state, gmet, aux = gen_step(gen_state, guid_state.params,
+                                        {"image": img}, ctx8, ctx8,
+                                        jax.random.PRNGKey(5))
+        guid_state, qmet = guid_step(guid_state, aux["fake_latents"],
+                                     aux["real_latents"], ctx8, ctx8,
+                                     jax.random.PRNGKey(6))
+    assert np.isfinite(float(gmet["gen_total"]))
+    assert np.isfinite(float(qmet["guid_total"]))
+    # the guidance state is genuinely FSDP-sharded
+    leaves = jax.tree_util.tree_leaves(guid_state.params)
+    assert any(len(x.addressable_shards) == 8
+               and x.addressable_shards[0].data.size < x.size
+               for x in leaves if hasattr(x, "addressable_shards"))
+    # batch stayed sharded through the step
+    assert len(aux["fake_latents"].addressable_shards) == 8

@@ -60,6 +60,15 @@ def test_encode_decode_round_trip(onedc_setup, tmp_path):
     pred2 = rt.decode(fp=str(fp))
     np.testing.assert_array_equal(np.asarray(pred), np.asarray(pred2))
 
+    # caption bytes ride the container (ref entropy/utils.py:95-105)
+    from onedc_tpu.entropy.framing import decode_i
+    cap_stream, cap_bpp = rt.encode(img_odd, caption="a test caption")
+    assert cap_bpp["bits_caption"] == len(b"a test caption") * 8
+    dec = decode_i(bytes(cap_stream), rt._codec_rt.fsq.index_bits, rt.ds)
+    assert dec["bit_stream_caption"] == b"a test caption"
+    pred3 = rt.decode(stream=cap_stream)
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(pred3))
+
 
 def test_decode_batch_matches_sequential(onedc_setup):
     model, params, img = onedc_setup

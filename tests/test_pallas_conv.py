@@ -62,6 +62,54 @@ def test_dispatch_gate():
     assert not supports_pallas_conv((1, 768, 768, 128), (1, 1, 128, 128))
 
 
+def test_gn_silu_conv_fused_matches_composition(rng):
+    """affine_silu_conv3x3 == groupnorm -> silu -> conv (+grads), any
+    backend (the Pallas staging fusion engages on TPU only)."""
+    from onedc_tpu.nn.blocks import group_norm
+    from onedc_tpu.ops.pallas_conv import gn_silu_conv3x3
+
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 64)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(3, 3, 64, 64)) * 0.05
+                     ).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    shift = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+
+    def ref(x, scale, shift, w, b):
+        h = jax.nn.silu(group_norm(x, scale, shift, 32, 1e-6))
+        return _ref_conv(h, w) + b
+
+    out = jax.jit(gn_silu_conv3x3)(x, scale, shift, w, b)
+    expect = jax.jit(ref)(x, scale, shift, w, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=2e-5, atol=2e-5)
+
+    # gradients flow and match the composition
+    g1 = jax.grad(lambda *a: jnp.sum(gn_silu_conv3x3(*a) ** 2), (0, 3))(
+        x, scale, shift, w, b)
+    g2 = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2), (0, 3))(
+        x, scale, shift, w, b)
+    for a, e in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=2e-4, atol=2e-4)
+
+
+@requires_tpu
+def test_kernel_with_affine_prolog_interpret(rng):
+    from onedc_tpu.ops.pallas_conv import _conv3x3_pallas_single
+
+    x = jnp.asarray(rng.normal(size=(16, 24, 128)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(3, 3, 128, 128)) * 0.05
+                     ).astype(np.float32))
+    mul = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    add = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        out = _conv3x3_pallas_single(x, w, mul, add, jax.nn.silu)
+    ref = _ref_conv(jax.nn.silu(x * mul + add)[None], w)[0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_dispatch_fallback_cpu(rng):
     # on CPU the dispatcher must use lax.conv
     x = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
