@@ -82,7 +82,14 @@ def gaussian_bits(y, sigma, training: bool = True):
 
 
 def build_indexes(scales, skip_thres=None):
-    """Map sigma -> scale-table index; < skip_thres -> -1 (skip symbol)."""
+    """Map sigma -> scale-table index; < skip_thres -> -1 (skip symbol).
+
+    Always computes in f32 (bf16 pipelines feed bf16 scales; the integer
+    index must not depend on the pipeline dtype). Jittable — running this
+    ON DEVICE lets the four-part decode ship int16 indexes to the host
+    instead of f32 scales (half the bytes per round trip).
+    """
+    scales = scales.astype(jnp.float32)
     safe = jnp.maximum(scales, 1e-5)
     idx = (jnp.log(safe) - LOG_SCALE_MIN) / LOG_SCALE_STEP
     idx = jnp.clip(idx, 0, SCALE_LEVELS - 1).astype(jnp.int32)
@@ -197,3 +204,17 @@ class GaussianConditionalCoder:
         indexes = self._indexes_np(scales, skip_thres)
         vals = self.entropy_coder.decode_stream(indexes, self.cdf_group_index)
         return vals.reshape(scales.shape).astype(np.float32)
+
+    # device-computed index variants (see build_indexes): the device ships
+    # int16 indexes instead of f32 scales — half the host transfer on THE
+    # serial four-part loop, and index math independent of pipeline dtype
+
+    def encode_with_indexes(self, symbols: np.ndarray, indexes: np.ndarray):
+        self.entropy_coder.encode_with_indexes(
+            np.asarray(symbols), np.asarray(indexes), self.cdf_group_index)
+
+    def decode_stream_with_indexes(self, indexes: np.ndarray) -> np.ndarray:
+        indexes = np.asarray(indexes)
+        vals = self.entropy_coder.decode_stream(indexes,
+                                                self.cdf_group_index)
+        return vals.reshape(indexes.shape).astype(np.float32)

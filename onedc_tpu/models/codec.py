@@ -332,9 +332,17 @@ class LatentCodec(nn.Module):
             reduction=self.y_spatial_prior_reduction,
             training=False, force_zero_thres=self.force_zero_thres,
             write=True)
+        # rANS write plan ships int16 CDF indexes, not f32 scales: the
+        # index map runs on device (entropy/gaussian.py:build_indexes) so
+        # the host transfer halves and the integer decision is identical
+        # between the compress and decompress programs' f32 math.
+        from ..entropy.gaussian import build_indexes
+        indexes_w = tuple(
+            build_indexes(s, self.force_zero_thres).astype(jnp.int16)
+            for s in scales_w)
         return {
             "y_q_w": y_q_w,
-            "scales_w": scales_w,
+            "indexes_w": indexes_w,
             "y_hat": y_hat,
             "z_indices": z_indices,
         }
@@ -360,9 +368,14 @@ class LatentCodec(nn.Module):
             "common": common,
             "z_semantic": z_semantic,
             "means": means,
-            "scales_r": scales_r,
+            "indexes_r": self._rans_indexes(scales_r),
             "y_hat": jnp.zeros_like(means),
         }
+
+    def _rans_indexes(self, scales_r):
+        from ..entropy.gaussian import build_indexes
+        return build_indexes(scales_r,
+                             self.force_zero_thres).astype(jnp.int16)
 
     def decompress_update(self, step: int, y_q_r, means, y_hat_so_far, common):
         """Fold in decoded symbols of `step`, emit scales for step+1.
@@ -374,12 +387,13 @@ class LatentCodec(nn.Module):
         masks = four_part_masks(h, w, c, means.dtype)
         y_hat = decompress_step_update(y_q_r, means, masks[step], y_hat_so_far)
         if step == 3:
-            return {"y_hat": y_hat, "means": means, "scales_r": None}
+            return {"y_hat": y_hat, "means": means, "indexes_r": None}
         params = jnp.concatenate([y_hat, common], axis=-1)
         nxt = self.y_spatial_prior(self.y_spatial_prior_adaptors[step](params))
         scales, means = separate_prior(nxt)
         scales_r = combine_quarters(scales * masks[step + 1])
-        return {"y_hat": y_hat, "means": means, "scales_r": scales_r}
+        return {"y_hat": y_hat, "means": means,
+                "indexes_r": self._rans_indexes(scales_r)}
 
     def decompress_finish(self, y_hat, z_semantic):
         y_semantic = self.semantic_adaptor(z_semantic)

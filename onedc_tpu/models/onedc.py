@@ -326,7 +326,7 @@ class OneDCRuntime:
             else:
                 per = {
                     "y_q_w": [a[i:i + 1] for a in out["y_q_w"]],
-                    "scales_w": [a[i:i + 1] for a in out["scales_w"]],
+                    "indexes_w": [a[i:i + 1] for a in out["indexes_w"]],
                     "z_indices": out["z_indices"][i:i + 1],
                 }
                 results.append(rt.write_streams(per, w, h))

@@ -88,11 +88,10 @@ class CodecRuntime:
         (entropy/utils.py:95-105; used by stage-2 guidance)."""
         assert self.entropy_coder is not None, "call update() first"
         self.entropy_coder.reset()
-        thres = self.codec.force_zero_thres
         for step in range(4):
             y_q = np.asarray(out["y_q_w"][step])
-            scales = np.asarray(out["scales_w"][step])
-            self.gaussian_coder.encode(y_q, scales, skip_thres=thres)
+            indexes = np.asarray(out["indexes_w"][step])
+            self.gaussian_coder.encode_with_indexes(y_q, indexes)
         self.entropy_coder.flush()
         bit_stream_y = self.entropy_coder.get_encoded_stream()
         bit_stream_z = self.fsq.pack_indices(np.asarray(out["z_indices"]))
@@ -174,7 +173,6 @@ class CodecRuntime:
 
         Returns (y_hat, z_semantic).
         """
-        thres = self.codec.force_zero_thres
         n = len(coders)
         assert z_indices.shape[0] == n, (z_indices.shape, n)
 
@@ -183,29 +181,29 @@ class CodecRuntime:
 
         st = self._begin(self.params, put(jnp.asarray(z_indices)))
         y_hat, means, common = st["y_hat"], st["means"], st["common"]
-        scales_r = st["scales_r"]
+        indexes_r = st["indexes_r"]
 
         if n == 1:
             for step in range(4):
-                y_q_r = coders[0].decode_stream(np.asarray(scales_r),
-                                                skip_thres=thres)
+                y_q_r = coders[0].decode_stream_with_indexes(
+                    np.asarray(indexes_r))
                 nxt = self._update[step](self.params, jnp.asarray(y_q_r),
                                          means, y_hat, common)
                 y_hat, means = nxt["y_hat"], nxt["means"]
-                scales_r = nxt["scales_r"]
+                indexes_r = nxt["indexes_r"]
         else:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=min(n, 16)) as pool:
                 for step in range(4):
-                    sc = np.asarray(scales_r)
+                    idx = np.asarray(indexes_r)
                     parts = list(pool.map(
-                        lambda i: coders[i].decode_stream(
-                            sc[i], skip_thres=thres), range(n)))
+                        lambda i: coders[i].decode_stream_with_indexes(
+                            idx[i]), range(n)))
                     y_q_r = put(jnp.asarray(np.stack(parts)))
                     nxt = self._update[step](self.params, y_q_r, means,
                                              y_hat, common)
                     y_hat, means = nxt["y_hat"], nxt["means"]
-                    scales_r = nxt["scales_r"]
+                    indexes_r = nxt["indexes_r"]
         return y_hat, st["z_semantic"]
 
     def decode(self, fp=None, stream: Optional[bytes] = None):

@@ -30,7 +30,10 @@ _BYPASS_BITS = 2
 _MAX_BYPASS = (1 << _BYPASS_BITS) - 1
 
 _CPP_DIR = Path(__file__).parent / "cpp"
-_LIB_PATH = _CPP_DIR / "libonedc_rans.so"
+# ONEDC_RANS_LIB overrides the library path (e.g. the TSAN build
+# libonedc_rans_tsan.so from `make tsan`, used by the race stress test)
+_LIB_PATH = Path(os.environ.get("ONEDC_RANS_LIB",
+                                _CPP_DIR / "libonedc_rans.so"))
 _build_lock = threading.Lock()
 _lib = None
 _lib_tried = False

@@ -118,7 +118,9 @@ class Trainer:
         run_dir = Path(cfg.get("run_dir", "runs/stage1"))
         self.ckpt = CheckpointManager(run_dir,
                                       int(cfg.get("max_checkpoint", 3)))
-        self.writer = make_writer(run_dir / "tb")
+        self.writer = make_writer(run_dir / "tb",
+                                  wandb_project=cfg.get("wandb_project"),
+                                  run_name=cfg.get("wandb_run_name"))
         self.writer.log_config(cfg)
         self.log_interval = int(cfg.get("log_interval", 200))
         self.save_interval = int(cfg.get("save_interval", 5000))

@@ -84,6 +84,67 @@ class TensorboardWriter:
         self.writer.close()
 
 
+class WandbWriter:
+    """log_dict/log_image API over wandb (ref WrappedWandb,
+    src/utils.py:90-126). Import-gated: wandb is optional."""
+
+    def __init__(self, project: str, run_name: Optional[str] = None,
+                 config: Optional[Mapping] = None):
+        import wandb  # noqa: F401 (optional dep)
+        self._wandb = wandb
+        self.run = wandb.init(project=project, name=run_name,
+                              config=dict(config) if config else None)
+
+    def log_dict(self, metrics: Mapping[str, float], step: int,
+                 prefix: str = ""):
+        payload = {(f"{prefix}/{k}" if prefix else k): float(v)
+                   for k, v in metrics.items()}
+        self._wandb.log(payload, step=step)
+
+    def log_image(self, tag: str, image: np.ndarray, step: int):
+        img = np.asarray(image)
+        if img.min() < -0.01:
+            img = img * 0.5 + 0.5
+        img = np.clip(img, 0, 1)
+        self._wandb.log({tag: self._wandb.Image(img)}, step=step)
+
+    def log_config(self, config: Mapping, step: int = 0):
+        self.run.config.update(dict(config), allow_val_change=True)
+
+    def flush(self):
+        pass
+
+    def close(self):
+        self.run.finish()
+
+
+class MultiWriter:
+    """Fan a single writer API out to several backends (e.g. TB + wandb)."""
+
+    def __init__(self, *writers):
+        self.writers = [w for w in writers if w is not None]
+
+    def log_dict(self, *a, **k):
+        for w in self.writers:
+            w.log_dict(*a, **k)
+
+    def log_image(self, *a, **k):
+        for w in self.writers:
+            w.log_image(*a, **k)
+
+    def log_config(self, *a, **k):
+        for w in self.writers:
+            w.log_config(*a, **k)
+
+    def flush(self):
+        for w in self.writers:
+            w.flush()
+
+    def close(self):
+        for w in self.writers:
+            w.close()
+
+
 class NoOpWriter:
     """Writer used on non-zero hosts (single-writer logging)."""
 
@@ -103,12 +164,24 @@ class NoOpWriter:
         pass
 
 
-def make_writer(log_dir, enabled: Optional[bool] = None):
-    """TensorBoard on process 0, no-op elsewhere."""
+def make_writer(log_dir, enabled: Optional[bool] = None,
+                wandb_project: Optional[str] = None,
+                run_name: Optional[str] = None):
+    """TensorBoard (plus wandb when ``wandb_project`` is set and the
+    package is installed) on process 0, no-op elsewhere."""
     import jax
     if enabled is None:
         enabled = jax.process_index() == 0
-    return TensorboardWriter(log_dir) if enabled else NoOpWriter()
+    if not enabled:
+        return NoOpWriter()
+    tb = TensorboardWriter(log_dir)
+    if wandb_project:
+        try:
+            return MultiWriter(tb, WandbWriter(wandb_project, run_name))
+        except ImportError:
+            get_logger().warning(
+                "wandb_project set but wandb is not installed; TB only")
+    return tb
 
 
 @contextlib.contextmanager
