@@ -118,9 +118,15 @@ class Evaluator:
     def _write_reports(self, rows, summary):
         import pandas as pd
         detail = pd.DataFrame(rows)
+        summ = pd.DataFrame([summary])
         detail.to_csv(self.out_dir / "bpp_detail.csv", index=False)
-        pd.DataFrame([summary]).to_csv(self.out_dir / "bpp_summary.csv",
-                                       index=False)
+        summ.to_csv(self.out_dir / "bpp_summary.csv", index=False)
+        try:  # xlsx twins like the reference (src/inference.py:129-135),
+            # when an engine (openpyxl/xlsxwriter) is installed
+            detail.to_excel(self.out_dir / "bpp_detail.xlsx", index=False)
+            summ.to_excel(self.out_dir / "bpp_summary.xlsx", index=False)
+        except (ImportError, ModuleNotFoundError, ValueError):
+            pass
         log.info("summary: %s", {k: round(v, 5) for k, v in summary.items()})
 
 

@@ -134,3 +134,36 @@ def test_frozen_params_do_not_update():
                                   np.ones(3))
     assert not np.allclose(np.asarray(new["params"]["codec"]["w"]),
                            np.ones(3))
+
+
+def test_grain_loader_exercise(tmp_path, rng):
+    """Production grain pipeline: deterministic shuffle, batching, and
+    batch shapes matching DataLoader's (ROADMAP round-1 item 7)."""
+    from onedc_tpu.data.datasets import (
+        ImageFolderDataset,
+        make_grain_loader,
+        save_image,
+    )
+
+    data_dir = tmp_path / "imgs"
+    data_dir.mkdir()
+    for i in range(10):
+        save_image(rng.uniform(-1, 1, (48, 48, 3)).astype(np.float32),
+                   data_dir / f"im{i}.png")
+    ds = ImageFolderDataset(str(data_dir))
+
+    it = make_grain_loader(ds, batch_size=4, shuffle=True, seed=0,
+                           num_workers=0, num_epochs=1)
+    batches = list(it)
+    assert len(batches) == 2  # drop_remainder over 10 items
+    for b in batches:
+        assert b["image"].shape == (4, 48, 48, 3)
+        assert len(b["caption"]) == 4 and len(b["name"]) == 4
+    names = [n for b in batches for n in b["name"]]
+    assert len(set(names)) == 8  # no duplicates within the epoch
+
+    # deterministic under the same seed
+    it2 = make_grain_loader(ds, batch_size=4, shuffle=True, seed=0,
+                            num_workers=0, num_epochs=1)
+    names2 = [n for b in it2 for n in b["name"]]
+    assert names == names2
