@@ -87,6 +87,10 @@ def main():
         extra = bench_lambda_decode(model, params)
     except Exception as e:  # keep the headline alive if the host path trips
         extra = {"lambda_bench_error": str(e)[:200]}
+    try:
+        extra.update(bench_chip_ceiling())
+    except Exception as e:
+        extra["chip_bench_error"] = str(e)[:200]
 
     print(json.dumps({
         "metric": f"{SIZE}x{SIZE} one-step decodes/sec/chip (bf16, device path)",
@@ -95,6 +99,33 @@ def main():
         "vs_baseline": round(decodes_per_sec / BASELINE_DECODES_PER_SEC, 3),
         **extra,
     }))
+
+
+def bench_chip_ceiling():
+    """Measured bf16 matmul ceiling of THIS chip (context for the
+    headline: the decode is ~3.3 TFLOP of conv/matmul work, so on a
+    throttled chip the roofline, not the program, caps decodes/s;
+    v5e spec is 197 TF/s bf16)."""
+    n = 4096
+    a = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)
+
+    def chain(a, b):
+        x = a
+        for _ in range(8):
+            x = jnp.dot(x, b, preferred_element_type=jnp.bfloat16)
+        return jnp.float32(jnp.sum(x))
+
+    f = jax.jit(chain)
+    float(f(a, b))
+    t0 = time.perf_counter()
+    reps = 4
+    for _ in range(reps):
+        r = f(a, b)
+    float(r)
+    dt = (time.perf_counter() - t0) / (reps * 8)
+    tf = 2 * n ** 3 / dt / 1e12
+    return {"chip_bf16_matmul_tf_per_s": round(tf, 1)}
 
 
 def bench_lambda_decode(model, params, n_streams: int = 8):

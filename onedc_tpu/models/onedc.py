@@ -309,11 +309,11 @@ class OneDCRuntime:
         images = jnp.asarray(images)
         if self.dtype is not None:
             images = images.astype(self.dtype)
-        batch = np.asarray(self._pad_replicate(images, pad))
+        batch = self._pad_replicate(images, pad)
 
         sharding, mult = self._batch_sharding(mesh)
-        batch = self._pad_batch(batch, mult)
-        batch = jnp.asarray(batch)
+        if n % mult:  # grow to a shardable batch (host detour only then)
+            batch = jnp.asarray(self._pad_batch(np.asarray(batch), mult))
         if sharding is not None:
             batch = jax.device_put(batch, sharding)
         out = self._encode_dev(self.params, batch)
@@ -362,10 +362,10 @@ class OneDCRuntime:
                 zi = jax.device_put(zi, sharding)
             preds = self._decode_z_only(self.params, zi)
         else:
-            coders = rt.make_stream_coders([d["bit_stream_y"] for d in decs])
             # padded rows replay the last real stream (same CDFs/shape)
-            coders += [rt.make_stream_coders([decs[-1]["bit_stream_y"]])[0]
-                       for _ in range(len(z_indices) - n)]
+            coders = rt.make_stream_coders(
+                [d["bit_stream_y"] for d in decs]
+                + [decs[-1]["bit_stream_y"]] * (len(z_indices) - n))
             y_hat, z_semantic = rt.run_four_part_decode(
                 z_indices, coders, sharding=sharding)
             preds = self._decode_dev(self.params, y_hat, z_semantic)

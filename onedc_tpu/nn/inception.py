@@ -166,12 +166,14 @@ class InceptionV3(nn.Module):
     @nn.compact
     def __call__(self, x255):
         x = x255.astype(jnp.float32) / 255.0
-        # bilinear resize to 299 (torch F.interpolate align_corners=False;
-        # jax.image.resize matches for upscale, and for the 256->299 FID
-        # patches this is always an upscale)
+        # bilinear resize to 299 with antialias OFF, matching torch
+        # F.interpolate(align_corners=False) for both up- AND downscale
+        # (patch sizes above 299 would otherwise silently antialias and
+        # diverge from the torchmetrics protocol)
         if x.shape[1] != 299 or x.shape[2] != 299:
             x = jax.image.resize(
-                x, (x.shape[0], 299, 299, x.shape[3]), method="bilinear")
+                x, (x.shape[0], 299, 299, x.shape[3]), method="bilinear",
+                antialias=False)
         x = (x - 0.5) * 2.0
 
         x = BasicConv(32, (3, 3), stride=2, name="Conv2d_1a_3x3")(x)

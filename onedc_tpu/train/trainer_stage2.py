@@ -177,6 +177,14 @@ class Stage2Trainer:
         if cfg.get("lpips_weights"):
             from ..nn.lpips import make_lpips_fn
             lpips_fn = make_lpips_fn(cfg.lpips_weights)
+        elif cfg.get("allow_no_lpips", False):
+            self.log.warning("stage-2 training WITHOUT the LPIPS pixel "
+                             "term (allow_no_lpips)")
+        else:
+            raise ValueError(
+                "no lpips_weights configured. The stage-2 pixel loss is "
+                "L1+LPIPS (ref train_sd15_codec_stage2.py pix term); set "
+                "lpips_weights: <path> or allow_no_lpips: true.")
         rd = RDLoss(pix_weight=float(cfg.get("pix_weight", 1.0)),
                     lpips_weight=float(cfg.get("lpips_weight", 1.0)),
                     lmbda=0.0, lpips_fn=lpips_fn)
@@ -207,6 +215,18 @@ class Stage2Trainer:
         self.save_interval = int(cfg.get("save_interval", 5000))
         self.rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 2)
 
+    @staticmethod
+    def round_batch(imgs_np, captions, n_data: int):
+        """Make the batch length a multiple of the mesh data axis: round
+        DOWN when possible, repeat rows up to the axis size otherwise
+        (slicing cannot grow a batch)."""
+        if len(imgs_np) >= n_data:
+            bs = (len(imgs_np) // n_data) * n_data
+            return imgs_np[:bs], captions[:bs]
+        reps = -(-n_data // len(imgs_np))
+        return (np.tile(imgs_np, (reps, 1, 1, 1))[:n_data],
+                (list(captions) * reps)[:n_data])
+
     def _shard(self, *arrays):
         """Place batch arrays sharded over the mesh data axis (the DDP
         equivalent; reference feeds per-rank batches via Accelerate)."""
@@ -221,10 +241,10 @@ class Stage2Trainer:
         with self.mesh:
             for step in range(self.total_steps):
                 batch = next(self.train_iter)
-                imgs_np = np.asarray(batch["image"])
-                bs = max(n_data, (len(imgs_np) // n_data) * n_data)
-                imgs_np = imgs_np[:bs]
-                captions = list(batch["caption"])[:bs]
+                imgs_np, captions = self.round_batch(
+                    np.asarray(batch["image"]), list(batch["caption"]),
+                    n_data)
+                bs = len(imgs_np)
                 ids = self.text.tokenize(captions)
                 text_np = np.asarray(self.text.encode(ids))
                 uncond_np = np.tile(np.asarray(uncond1), (bs, 1, 1))

@@ -168,3 +168,23 @@ def test_two_turn_steps_sharded_mesh(guidance_setup):
                for x in leaves if hasattr(x, "addressable_shards"))
     # batch stayed sharded through the step
     assert len(aux["fake_latents"].addressable_shards) == 8
+
+
+def test_stage2_round_batch():
+    """Batch rounding for the sharded stage-2 loop: round down to the
+    data-axis multiple; repeat rows when the batch is smaller."""
+    from onedc_tpu.train.trainer_stage2 import Stage2Trainer
+
+    imgs = np.arange(10 * 2 * 2 * 3, dtype=np.float32).reshape(10, 2, 2, 3)
+    caps = [f"c{i}" for i in range(10)]
+    # 10 on an 8-axis -> 8
+    out, oc = Stage2Trainer.round_batch(imgs, caps, 8)
+    assert out.shape[0] == 8 and oc == caps[:8]
+    # 4 on an 8-axis -> repeated to 8, captions aligned with rows
+    out, oc = Stage2Trainer.round_batch(imgs[:4], caps[:4], 8)
+    assert out.shape[0] == 8 and len(oc) == 8
+    np.testing.assert_array_equal(out[4:], out[:4])
+    assert oc == caps[:4] * 2
+    # exact multiple is untouched
+    out, oc = Stage2Trainer.round_batch(imgs[:8], caps[:8], 4)
+    assert out.shape[0] == 8 and oc == caps[:8]
