@@ -102,10 +102,12 @@ def main():
 
 
 def bench_chip_ceiling():
-    """Measured bf16 matmul ceiling of THIS chip (context for the
-    headline: the decode is ~3.3 TFLOP of conv/matmul work, so on a
-    throttled chip the roofline, not the program, caps decodes/s;
-    v5e spec is 197 TF/s bf16)."""
+    """Measured ceilings of THIS chip, for normalizing the headline:
+    bf16 matmul TF/s (v5e spec 197) and effective HBM GB/s (spec 819).
+    Measured here: MXU near-spec but HBM ~6x below spec through the
+    tunnel — the 768px decode is bandwidth-bound on this chip (bare
+    300 MB elementwise pass: ~2.5 ms), so decodes/s scales with real
+    HBM bandwidth, not with more MXU work."""
     n = 4096
     a = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.bfloat16)
     b = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)
@@ -125,7 +127,27 @@ def bench_chip_ceiling():
     float(r)
     dt = (time.perf_counter() - t0) / (reps * 8)
     tf = 2 * n ** 3 / dt / 1e12
-    return {"chip_bf16_matmul_tf_per_s": round(tf, 1)}
+
+    # bandwidth: chained whole-tensor passes over a 151 MB bf16 buffer
+    big = jax.random.normal(jax.random.PRNGKey(2), (768, 768, 128),
+                            jnp.bfloat16)
+
+    def passes(x):
+        for _ in range(8):
+            # barrier: stop XLA fusing the chain into one pass
+            x = jax.lax.optimization_barrier(x + jnp.bfloat16(1.0))
+        return jnp.float32(jnp.sum(x))
+
+    g = jax.jit(passes)
+    float(g(big))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = g(big)
+    float(r)
+    dtp = (time.perf_counter() - t0) / (reps * 8)
+    gbs = 2 * big.size * 2 / dtp / 1e9  # read+write per pass
+    return {"chip_bf16_matmul_tf_per_s": round(tf, 1),
+            "chip_hbm_gb_per_s": round(gbs, 1)}
 
 
 def bench_lambda_decode(model, params, n_streams: int = 8):
