@@ -202,6 +202,135 @@ def conv3x3(x, w, bias: Optional[jnp.ndarray] = None, *,
 
 
 # ---------------------------------------------------------------------------
+# Kernel v2: SINGLE-READ conv3x3 with fused affine+SiLU prologue
+# ---------------------------------------------------------------------------
+# The v1 kernel above pre-stages three dx-shifted HBM copies (tile-aligned
+# DMAs, but 3x input traffic + an extra write pass — measured 4.6 ms of
+# staging per 768x128 conv on a ~227 GB/s chip, which is why it loses to
+# XLA end-to-end). v2 reads ONE padded HBM buffer and builds the dx
+# shifts in VMEM (static sublane-offset slices -> cheap on-chip
+# relayouts), with the GN-affine + SiLU + zero-border mask applied
+# in-kernel so the normalized tensor never exists in HBM at all.
+
+V2_ROWS = 4
+
+
+def _kernel_v2(xp_ref, w_ref, mul_ref, add_ref, out_ref, slab_ref,
+               shift_ref, sem_ref, *, n_k: int, width: int, height: int,
+               fuse: bool, slots: int):
+    """xp_ref: (H+2, W+8, C) padded input in HBM (left pad 1, right pad
+    7 for sublane alignment headroom). Per grid step i we DMA rows
+    [i*ROWS, i*ROWS+ROWS+2) once per K block, transform IN PLACE in
+    VMEM, and accumulate 9 shifted matmuls."""
+    i = pl.program_id(0)
+
+    def dma(slot, k):
+        return pltpu.make_async_copy(
+            xp_ref.at[pl.ds(i * V2_ROWS, V2_ROWS + 2), :,
+                      pl.ds(k * LANE, LANE)],
+            slab_ref.at[slot], sem_ref.at[slot])
+
+    dma(0, 0).start()
+    acc = jnp.zeros((V2_ROWS * width, LANE), jnp.float32)
+    for k in range(n_k):
+        slot = k % slots
+        if slots > 1 and k + 1 < n_k:
+            dma(1 - slot, k + 1).start()
+        dma(slot, k).wait()
+        if fuse:
+            mul = mul_ref[0, pl.ds(k * LANE, LANE)].astype(jnp.float32)
+            add = add_ref[0, pl.ds(k * LANE, LANE)].astype(jnp.float32)
+            # f32 VPU math (Mosaic miscompiles bf16 sigmoid broadcasts);
+            # written back IN PLACE so the f32 temp dies before the
+            # matmul loop (VMEM budget)
+            raw = slab_ref[slot]
+            t = (raw.astype(jnp.float32) * mul[None, None, :]
+                 + add[None, None, :])
+            t = t * jax.nn.sigmoid(t)
+            # zero the padding so conv-of-silu(gn(x)) semantics hold:
+            # cols < 1 or >= width+1 are W-padding; rows outside the
+            # image (top row of block 0, bottom row of the last block)
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (V2_ROWS + 2, width + 8, 1), 1)
+            colmask = (col >= 1) & (col < width + 1)
+            row = jax.lax.broadcasted_iota(
+                jnp.int32, (V2_ROWS + 2, width + 8, 1), 0) + i * V2_ROWS
+            rowmask = (row >= 1) & (row < height + 1)
+            slab_ref[slot] = jnp.where(
+                colmask & rowmask, t, jnp.zeros_like(t)).astype(raw.dtype)
+        slab = slab_ref[slot]  # (ROWS+2, W+8, LANE)
+        # hoist the sublane-offset relayouts: 3 dx shifts ONCE per
+        # K block (instead of 9 per-matmul offset slices)
+        for dx in range(3):
+            shift_ref[dx] = jax.lax.slice(
+                slab, (0, dx, 0), (V2_ROWS + 2, dx + width, LANE))
+        if slots == 1 and k + 1 < n_k:
+            dma(0, k + 1).start()  # overlap next DMA with the matmuls
+        for dy in range(3):
+            for dx in range(3):
+                xs = shift_ref[dx, pl.ds(dy, V2_ROWS)]  # aligned rows
+                xs = xs.reshape(V2_ROWS * width, LANE)
+                acc = acc + jnp.dot(
+                    xs, w_ref[dy, dx, pl.ds(k * LANE, LANE), :],
+                    preferred_element_type=jnp.float32)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _conv3x3_v2_single(x, w, mul=None, add=None):
+    """Single-image single-read conv3x3 (+optional fused affine+silu).
+
+    x (H, W, Cin); when mul/add are given the kernel computes
+    conv(silu(x*mul+add)) with zero borders — the raw x is the ONLY HBM
+    input (the normalized tensor is never materialized).
+    """
+    h, width, cin = x.shape
+    cout = w.shape[-1]
+    n_k = cin // LANE
+    fuse = mul is not None
+
+    # (H+2, W+8, C): top/bottom halo rows + left pad 1 / right pad 7
+    xp = jnp.pad(x, ((1, 1), (1, 7), (0, 0)))
+    if fuse:
+        mul2 = mul.reshape(1, cin)
+        add2 = add.reshape(1, cin)
+    else:  # dummies keep one kernel signature
+        mul2 = jnp.ones((1, cin), x.dtype)
+        add2 = jnp.zeros((1, cin), x.dtype)
+
+    slots = 1 if n_k == 1 else 2
+    grid = (h // V2_ROWS, cout // LANE)
+    out = pl.pallas_call(
+        functools.partial(_kernel_v2, n_k=n_k, width=width, height=h,
+                          fuse=fuse, slots=slots),
+        out_shape=jax.ShapeDtypeStruct((h * width, cout), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # xp stays in HBM
+            pl.BlockSpec((3, 3, cin, LANE), lambda i, j: (0, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cin), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cin), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((V2_ROWS * width, LANE),
+                               lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((slots, V2_ROWS + 2, width + 8, LANE), x.dtype),
+            pltpu.VMEM((3, V2_ROWS + 2, width, LANE), x.dtype),
+            pltpu.SemaphoreType.DMA((slots,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * h * width * cin * cout * 9,
+            bytes_accessed=(h * width * cin + h * width * cout
+                            ) * x.dtype.itemsize,
+            transcendentals=h * width * cin if fuse else 0),
+    )(xp, w, mul2, add2)
+    return out.reshape(h, width, cout)
+
+
+# ---------------------------------------------------------------------------
 # Fused GroupNorm-affine + SiLU + conv3x3 (the VAE decoder tail pattern)
 # ---------------------------------------------------------------------------
 
@@ -216,13 +345,18 @@ def _gn_silu_conv_ref(x, mul, add, w, bias):
 
 @jax.custom_vjp
 def _gn_silu_conv_fused(x, mul, add, w, bias):
-    """Pallas path: the affine+SiLU fuse into the kernel's input staging
-    (one read of x, no HBM round trip of the normalized tensor)."""
-    act = jax.nn.silu
+    """Pallas path: the affine+SiLU fuse into the conv kernel itself —
+    ONEDC_FUSED_CONV=2 selects the single-read v2 kernel (raw x is the
+    only HBM input; the normalized tensor never exists in HBM),
+    ONEDC_FUSED_CONV=1 the v1 staged kernel."""
+    import os
+    v2 = os.environ.get("ONEDC_FUSED_CONV") == "2"
 
     def one(args):
         xi, mi, ai = args
-        return _conv3x3_pallas_single(xi, w, mi, ai, act)
+        if v2:
+            return _conv3x3_v2_single(xi, w, mi, ai)
+        return _conv3x3_pallas_single(xi, w, mi, ai, jax.nn.silu)
 
     if x.shape[0] == 1:
         out = one((x[0], mul[0], add[0]))[None]
@@ -265,14 +399,16 @@ def affine_silu_conv3x3(x, mul, add, w, bias=None,
         bias = bias.astype(cdtype)
     mul = mul.astype(cdtype)
     add = add.astype(cdtype)
-    # Measured on v5e (768px bf16 decode): the Pallas staging-fusion path
-    # LOSES to XLA's bf16 conv pipeline (4.8 vs 12.5 decodes/s end to
-    # end) — XLA already fuses the affine+silu producer into its conv
-    # emitters at bf16. Keep the kernel as an opt-in substrate
-    # (ONEDC_FUSED_CONV=1) for future shapes where XLA underperforms.
+    # Measured on the tunnel v5e (768px bf16): v1 (3x HBM staging) LOSES
+    # to XLA end-to-end (4.8 vs 12.5 decodes/s); v2 (single-read, fused
+    # affine+silu+mask, bit-exact vs the composition) TIES XLA within
+    # run-to-run noise (~5 ms per 768x128 conv either way) because this
+    # chip's HBM is throttled (~227 GB/s) and XLA's conv pipeline is
+    # already near that bound. Kept opt-in (ONEDC_FUSED_CONV=1|2) for
+    # full-bandwidth chips, where v2's one-fewer-HBM-pass should win.
     import os
     use = (allow_pallas
-           and os.environ.get("ONEDC_FUSED_CONV", "0") == "1"
+           and os.environ.get("ONEDC_FUSED_CONV", "0") in ("1", "2")
            and jax.devices()[0].platform == "tpu"
            and supports_pallas_conv(x.shape, w.shape))
     if use:

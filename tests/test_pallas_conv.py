@@ -95,6 +95,30 @@ def test_gn_silu_conv_fused_matches_composition(rng):
 
 
 @requires_tpu
+def test_kernel_v2_single_read_interpret(rng):
+    """v2 single-read kernel: fused affine+silu+border-mask, raw x is
+    the only HBM input. Validated bit-exact on hardware; interpret-mode
+    here keeps the logic honest in CI."""
+    from onedc_tpu.ops.pallas_conv import _conv3x3_v2_single
+
+    x = jnp.asarray(rng.normal(size=(16, 24, 128)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(3, 3, 128, 128)) * 0.05
+                     ).astype(np.float32))
+    mul = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    add = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        out = _conv3x3_v2_single(x, w, mul, add)
+        plain = _conv3x3_v2_single(x, w)
+    t = jax.nn.silu(x * mul + add)
+    ref = _ref_conv(t[None], w)[0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(plain),
+                               np.asarray(_ref_conv(x[None], w)[0]),
+                               rtol=2e-3, atol=2e-3)
+
+
+@requires_tpu
 def test_kernel_with_affine_prolog_interpret(rng):
     from onedc_tpu.ops.pallas_conv import _conv3x3_pallas_single
 
