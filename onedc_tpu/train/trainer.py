@@ -206,7 +206,11 @@ class Trainer:
     def resume(self, step: Optional[int] = None):
         self.state, restored = self.ckpt.restore(jax.device_get(self.state),
                                                  step)
-        self.state = replicate_params(self.mesh, self.state)
+        if self.cfg.get("fsdp", False):
+            from ..parallel.fsdp import shard_state
+            self.state = shard_state(self.mesh, self.state)
+        else:
+            self.state = replicate_params(self.mesh, self.state)
         log.info("resumed from step %d", restored)
 
 

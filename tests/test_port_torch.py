@@ -132,3 +132,47 @@ def test_unmapped_name_raises(rng):
     except KeyError:
         raised = True
     assert raised
+
+
+def test_convert_weights_cli_lpips_dists(tmp_path, rng):
+    """convert_weights CLI: torch .pth -> our safetensors layouts, loaded
+    back by the make_*_fn entry points."""
+    import torch as t
+    from onedc_tpu.utils import convert_weights as cw
+    from onedc_tpu.nn.lpips import _VGG16_PLAN
+
+    # synthetic torchvision-vgg16-features state dict
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    vgg = {}
+    in_ch = 3
+    for i, ti in enumerate(conv_idx):
+        out_ch = _VGG16_PLAN[i][0]
+        # small magnitude: random weights at std 1 overflow f32 through
+        # 13 conv layers (activations grow ~sqrt(9*C) per layer)
+        vgg[f"features.{ti}.weight"] = t.randn(out_ch, in_ch, 3, 3) * 0.02
+        vgg[f"features.{ti}.bias"] = t.randn(out_ch) * 0.01
+        in_ch = out_ch
+    t.save(vgg, tmp_path / "vgg.pth")
+
+    # lpips package linear heads
+    lins = {f"lin{k}.model.1.weight": t.rand(1, c, 1, 1)
+            for k, c in enumerate([64, 128, 256, 512, 512])}
+    t.save(lins, tmp_path / "lins.pth")
+    cw.main(["lpips", "--vgg", str(tmp_path / "vgg.pth"),
+             "--lins", str(tmp_path / "lins.pth"),
+             "--out", str(tmp_path / "lpips.safetensors")])
+    from onedc_tpu.nn.lpips import make_lpips_fn
+    fn = make_lpips_fn(str(tmp_path / "lpips.safetensors"))
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    assert np.isfinite(float(fn(x, x)[0]))
+    assert abs(float(fn(x, x)[0])) < 1e-5  # identical inputs -> ~0
+
+    # DISTS package alpha/beta
+    dists_w = {"alpha": t.rand(1, 1475, 1, 1), "beta": t.rand(1, 1475, 1, 1)}
+    t.save(dists_w, tmp_path / "dists.pth")
+    cw.main(["dists", "--vgg", str(tmp_path / "vgg.pth"),
+             "--dists", str(tmp_path / "dists.pth"),
+             "--out", str(tmp_path / "dists.safetensors")])
+    from onedc_tpu.nn.dists import make_dists_fn
+    dfn = make_dists_fn(str(tmp_path / "dists.safetensors"))
+    assert abs(float(dfn(x, x)[0])) < 1e-4
