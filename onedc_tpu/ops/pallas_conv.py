@@ -1,22 +1,28 @@
-"""Pallas TPU kernel: 3x3 same-padding convolution for spatial-heavy,
-narrow-channel shapes.
+"""Pallas TPU kernels: 3x3 same-padding convolution (+fused GN/SiLU).
 
-XLA's TPU conv runs at ~15-30% of the MXU roofline for the VAE decoder's
-tail shapes (e.g. 768x768x128 -> 128: 24 TF/s measured vs ~197 peak). This
-kernel decomposes conv3x3 into nine shifted (M, Cin) x (Cin, Cout) MXU
-matmuls with all operands staged in VMEM.
+Measured reality on the tunnel v5e (updated round 2; do NOT trust the
+round-1 "~40 TF/s ceiling" story): XLA's bf16 conv pipeline reaches
+94-147 TF/s at the VAE/UNet shapes and is near this chip's throttled
+HBM bound (~227 GB/s effective), so these kernels only TIE it here.
+They are kept as opt-in substrates (ONEDC_FUSED_CONV=1|2) for
+full-bandwidth chips where the fused variants save a full HBM pass of
+the normalized tensor per conv.
 
-Layout strategy (everything tile-aligned, no relayout copies):
-- dx in {-1,0,1}: three pre-shifted HBM copies built by XLA
-  (``x3[dx] = pad(x)[:, dx:dx+W]``), so kernel DMAs are lane/sublane
-  aligned.
-- dy in {-1,0,1}: the slab keeps (rows, W, C) 3D shape; dim 0 is untiled,
-  so ``slab[dx, dy:dy+8]`` is free slicing.
-- Cin > 128 is processed in 128-lane K blocks (separate DMAs per block).
+Two designs, both decomposing conv3x3 into nine shifted
+(M, Cin) x (Cin, Cout) MXU matmuls:
+
+- v1 (`_conv3x3_pallas_single`): three dx-pre-shifted HBM copies built
+  by XLA so every kernel DMA is tile-aligned; simple but 3x input
+  traffic (loses end-to-end on a bandwidth-bound chip).
+- v2 (`_conv3x3_v2_single`): SINGLE padded HBM input; the dx shifts are
+  built once per K block as in-VMEM relayouts, and the GroupNorm
+  affine + SiLU + zero-border mask run in-kernel (f32 VPU), so the raw
+  x is the only HBM read. Bit-exact vs the XLA composition.
 
 Constraints: stride 1, 3x3 kernel, Cin and Cout multiples of 128, H
-divisible by 8. Other shapes fall back to lax.conv. Backward: custom VJP
-(dx via the same kernel with flipped/transposed weights, dw via XLA).
+divisible by the row block. Other shapes fall back to lax.conv.
+Backward: custom VJP (dx via the same kernel with flipped/transposed
+weights, dw via XLA; the fused op recomputes the unfused composition).
 """
 
 from __future__ import annotations
@@ -181,11 +187,9 @@ def conv3x3(x, w, bias: Optional[jnp.ndarray] = None, *,
     """Dispatching 3x3 same conv: Pallas on TPU for supported shapes,
     lax.conv otherwise.
 
-    ``allow_pallas`` defaults to False: on the measured v5e the kernel
-    matches XLA's conv (~21-48 TF/s at the VAE tail shapes, both near the
-    chip's observed ~40 TF/s practical matmul ceiling) without beating it,
-    so XLA remains the default path. The kernel is kept as the substrate
-    for future fusion work (GN/SiLU epilogues would amortize its DMAs).
+    ``allow_pallas`` defaults to False: measured on the tunnel v5e the
+    kernels tie XLA's bf16 conv pipeline at best (see module docstring),
+    so XLA remains the default path.
     """
     use = (allow_pallas
            and jax.devices()[0].platform == "tpu"
