@@ -314,3 +314,122 @@ def test_four_part_masks_match_reference(ref):
         np.testing.assert_array_equal(
             _nchw(ours[step]), ref_masks[step].numpy(),
             err_msg=f"step {step}")
+
+
+def _linear_prior_pair(rng, c):
+    """Matched torch/jax 1x1-conv prior nets with shared weights."""
+    wa = [rng.normal(size=(2 * c, 2 * c, 1, 1)).astype(np.float32) * 0.2
+          for _ in range(3)]
+    wp = rng.normal(size=(2 * c, 2 * c, 1, 1)).astype(np.float32) * 0.2
+    wr = rng.normal(size=(c, 2 * c, 1, 1)).astype(np.float32) * 0.2
+
+    def t_conv(w):
+        m = torch.nn.Conv2d(w.shape[1], w.shape[0], 1, bias=False)
+        with torch.no_grad():
+            m.weight.copy_(torch.tensor(w))
+        return m.eval()
+
+    t_adapt = [t_conv(w) for w in wa]
+    t_prior = t_conv(wp)
+    t_red = t_conv(wr)
+
+    def j_conv(w):
+        k = jnp.asarray(w[:, :, 0, 0].T)  # (in, out)
+        return lambda x: x @ k
+
+    j_steps = [
+        (lambda f: (lambda p: j_conv(wp)(f(p))))(j_conv(w)) for w in wa]
+    j_red = j_conv(wr)
+    return t_adapt, t_prior, t_red, j_steps, j_red
+
+
+def test_four_part_prior_forward_parity_real(ref, rng):
+    """THE core coding math (E6 forward/compress) vs the real reference
+    CompressionModel, with matched linear prior nets on both sides."""
+    from onedc_tpu.entropy.fourpart import forward_four_part_prior
+
+    c, h, w = 8, 6, 10
+    cm = ref.cm.CompressionModel(y_distribution="gaussian",
+                                 z_channel=8).eval()
+    t_adapt, t_prior, t_red, j_steps, j_red = _linear_prior_pair(rng, c)
+
+    y = rng.normal(size=(1, c, h, w)).astype(np.float32)
+    params = rng.normal(size=(1, 2 * c, h, w)).astype(np.float32)
+
+    with torch.no_grad():
+        t_out = cm.forward_four_part_prior(
+            torch.tensor(y), torch.tensor(params),
+            t_adapt[0], t_adapt[1], t_adapt[2], t_prior,
+            y_spatial_prior_reduction=t_red, write=False)
+    j_out = jax.jit(lambda y, p: forward_four_part_prior(
+        y, p, j_steps, reduction=j_red, training=False))(
+        jnp.asarray(_nhwc(y)), jnp.asarray(_nhwc(params)))
+    names = ("y_res", "y_q", "y_hat", "scales_hat")
+    for name, t, j in zip(names, t_out, j_out):
+        np.testing.assert_allclose(_nchw(j), t.numpy(), rtol=2e-4,
+                                   atol=2e-4, err_msg=name)
+
+    # write plan (compress side)
+    with torch.no_grad():
+        t_w = cm.forward_four_part_prior(
+            torch.tensor(y), torch.tensor(params),
+            t_adapt[0], t_adapt[1], t_adapt[2], t_prior,
+            y_spatial_prior_reduction=t_red, write=True)
+    j_q_w, j_s_w, j_y_hat = jax.jit(lambda y, p: forward_four_part_prior(
+        y, p, j_steps, reduction=j_red, training=False, write=True))(
+        jnp.asarray(_nhwc(y)), jnp.asarray(_nhwc(params)))
+    for step in range(4):
+        np.testing.assert_allclose(_nchw(j_q_w[step]),
+                                   t_w[step].numpy(), atol=2e-4)
+        np.testing.assert_allclose(_nchw(j_s_w[step]),
+                                   t_w[4 + step].numpy(), atol=2e-4)
+    np.testing.assert_allclose(_nchw(j_y_hat), t_w[8].numpy(), atol=2e-4)
+
+
+def test_four_part_prior_decompress_parity_real(ref, rng):
+    """Staged decompress (begin/update device programs) vs the reference
+    one-shot decompress loop, with a deterministic fake rANS stream."""
+    from onedc_tpu.entropy.fourpart import (
+        combine_quarters,
+        decompress_step_scales,
+        decompress_step_update,
+        four_part_masks,
+        separate_prior,
+        tile_quarters,
+    )
+
+    c, h, w = 8, 6, 10
+    cm = ref.cm.CompressionModel(y_distribution="gaussian",
+                                 z_channel=8).eval()
+    t_adapt, t_prior, t_red, j_steps, j_red = _linear_prior_pair(rng, c)
+    params = rng.normal(size=(1, 2 * c, h, w)).astype(np.float32)
+
+    class FakeGaussian:
+        """decode_stream -> deterministic ints derived from the scales."""
+
+        def decode_stream(self, scales_r, dtype, device, skip_thres=None):
+            return torch.round(torch.tensor(
+                np.asarray(scales_r) * 3.0)).to(device).to(dtype)
+
+    cm.gaussian_encoder = FakeGaussian()
+    with torch.no_grad():
+        t_y_hat = cm.decompress_four_part_prior(
+            torch.tensor(params), t_adapt[0], t_adapt[1], t_adapt[2],
+            t_prior, y_spatial_prior_reduction=t_red)
+
+    # our staged loop with the same fake stream
+    p = jnp.asarray(_nhwc(params))
+    scales, means = separate_prior(p)
+    common = j_red(p)
+    masks = four_part_masks(h, w, c, jnp.float32)
+    y_hat = jnp.zeros_like(means)
+    scales_r = combine_quarters(scales * masks[0])
+    for step in range(4):
+        y_q_r = jnp.round(scales_r * 3.0)
+        y_hat = decompress_step_update(y_q_r, means, masks[step], y_hat)
+        if step < 3:
+            nxt = j_steps[step](jnp.concatenate([y_hat, common], axis=-1))
+            scales, means = jnp.split(nxt, 2, axis=-1)
+            scales_r = combine_quarters(scales * masks[step + 1])
+    np.testing.assert_allclose(_nchw(y_hat), t_y_hat.numpy(), rtol=2e-4,
+                               atol=2e-4)
