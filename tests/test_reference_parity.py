@@ -433,3 +433,99 @@ def test_four_part_prior_decompress_parity_real(ref, rng):
             scales_r = combine_quarters(scales * masks[step + 1])
     np.testing.assert_allclose(_nchw(y_hat), t_y_hat.numpy(), rtol=2e-4,
                                atol=2e-4)
+
+
+def test_recon_with_z_parity_real(ref, rng):
+    """z-only E6 variant (y_hat = predicted means only) vs the real
+    reference forward_four_part_prior_recon_with_z."""
+    from onedc_tpu.entropy.fourpart import (
+        forward_four_part_prior_recon_with_z,
+    )
+
+    c, h, w = 8, 6, 10
+    cm = ref.cm.CompressionModel(y_distribution="gaussian",
+                                 z_channel=8).eval()
+    t_adapt, t_prior, t_red, j_steps, j_red = _linear_prior_pair(rng, c)
+    y = rng.normal(size=(1, c, h, w)).astype(np.float32)
+    params = rng.normal(size=(1, 2 * c, h, w)).astype(np.float32)
+
+    with torch.no_grad():
+        t_y_hat = cm.forward_four_part_prior_recon_with_z(
+            torch.tensor(y), torch.tensor(params),
+            t_adapt[0], t_adapt[1], t_adapt[2], t_prior,
+            y_spatial_prior_reduction=t_red)
+    j_y_hat = jax.jit(lambda y, p: forward_four_part_prior_recon_with_z(
+        y, p, j_steps, reduction=j_red))(
+        jnp.asarray(_nhwc(y)), jnp.asarray(_nhwc(params)))
+    t_arr = t_y_hat[0] if isinstance(t_y_hat, tuple) else t_y_hat
+    np.testing.assert_allclose(_nchw(j_y_hat), t_arr.numpy(), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_bit_estimator_cdf_tables_match_reference(ref, rng):
+    """Factorized-prior (BitEstimator) CDF build vs the real reference
+    module with the SAME learned parameters."""
+    from onedc_tpu.entropy.factorized import BitEstimator, FactorizedCoder
+    from onedc_tpu.ops.rans import pmf_to_quantized_cdf_np
+
+    ch = 5
+    t_be = ref.em.BitEstimator(ch).eval()
+    with torch.no_grad():
+        for f in (t_be.f1, t_be.f2, t_be.f3, t_be.f4):
+            f.h.normal_(0, 0.3)
+            f.b.normal_(0, 0.3)
+            if f.a is not None:
+                f.a.normal_(0, 0.3)
+
+    # mirror the parameters into our module layout (Bitparm_0..3)
+    def grab(f):
+        d = {"h": f.h.detach().numpy().reshape(1, 1, 1, ch),
+             "b": f.b.detach().numpy().reshape(1, 1, 1, ch)}
+        if f.a is not None:
+            d["a"] = f.a.detach().numpy().reshape(1, 1, 1, ch)
+        return {k: jnp.asarray(v) for k, v in d.items()}
+
+    params = {"params": {f"Bitparm_{i}": grab(f) for i, f in enumerate(
+        (t_be.f1, t_be.f2, t_be.f3, t_be.f4))}}
+    j_be = BitEstimator(ch)
+
+    # CDF curves agree
+    xs = rng.uniform(-10, 10, (1, 4, 4, ch)).astype(np.float32)
+    with torch.no_grad():
+        t_cdf = t_be.forward(torch.tensor(_nchw(xs))).numpy()
+    j_cdf = np.asarray(j_be.apply(params, jnp.asarray(xs)))
+    np.testing.assert_allclose(_nchw(j_cdf), t_cdf, rtol=1e-5, atol=1e-5)
+
+    # full update() table parity (reference quantizer monkeypatched to
+    # our golden-validated pmf_to_quantized_cdf)
+    class FakeCoder:
+        def add_cdf(self, cdf, length, offset):
+            self.cdf = np.asarray(cdf)
+            self.length = np.asarray(length)
+            self.offset = np.asarray(offset)
+            return 0
+
+    orig = ref.em.EntropyCoder.pmf_to_quantized_cdf
+    ref.em.EntropyCoder.pmf_to_quantized_cdf = staticmethod(
+        lambda pmf, precision=16: torch.tensor(
+            pmf_to_quantized_cdf_np(np.asarray(pmf, np.float32),
+                                    precision).astype(np.int64)))
+    try:
+        fake = FakeCoder()
+        t_be.update(force=True, entropy_coder=fake)
+    finally:
+        ref.em.EntropyCoder.pmf_to_quantized_cdf = orig
+
+    coder = FactorizedCoder(j_be, params)
+    coder.update(force=True, entropy_coder=_RecordingCoder())
+    ours_cdf = coder._quantized_cdf
+    ours_len = coder._cdf_length
+    ours_off = coder._offset
+    np.testing.assert_array_equal(ours_len, fake.length)
+    np.testing.assert_array_equal(ours_off, fake.offset)
+    np.testing.assert_array_equal(ours_cdf, fake.cdf)
+
+
+class _RecordingCoder:
+    def add_cdf(self, cdf, length, offset):
+        return 0
