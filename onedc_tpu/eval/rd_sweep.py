@@ -43,15 +43,13 @@ log = get_logger("onedc_tpu.rd_sweep")
 
 def run_point(base_cfg: Config, point: dict) -> dict:
     """Encode/decode the dataset with one checkpoint; return summary."""
-    merged = dict(base_cfg)
-    merged.update({k: v for k, v in point.items() if k != "model"})
-    model_cfg = dict(base_cfg.get("model", {}))
-    model_cfg.update(dict(point.get("model", {})))
-    merged["model"] = model_cfg
-    merged["output_path"] = str(
-        Path(base_cfg.get("output_path", "outputs/rd_sweep"))
-        / point["name"])
-    cfg = Config.wrap(merged)
+    from ..config import merge
+    cfg = merge(base_cfg, {k: v for k, v in point.items()
+                           if k != "name"})
+    if "output_path" not in point:  # per-point override wins if given
+        cfg["output_path"] = str(
+            Path(base_cfg.get("output_path", "outputs/rd_sweep"))
+            / point["name"])
     ev = Evaluator(cfg)
     summary = ev.evaluate()
     summary["name"] = point["name"]
@@ -74,6 +72,11 @@ def run_sweep(cfg: Config) -> list:
         from ..nn.dists import make_dists_fn
         dists_fn = make_dists_fn(cfg.dists_weights)
 
+    import pandas as pd
+    out = Path(cfg.get("output_path", "outputs/rd_sweep"))
+    out.mkdir(parents=True, exist_ok=True)
+    csv_path = out / "rd_curve.csv"
+
     rows = []
     for point in points:
         log.info("=== RD point %s ===", point["name"])
@@ -83,15 +86,14 @@ def run_sweep(cfg: Config) -> list:
             lpips_fn=lpips_fn, feature_fn=feature_fn, dists_fn=dists_fn)
         summary.update(q)
         rows.append(summary)
-        log.info("point %s: bpp=%.4f psnr=%.2f", point["name"],
-                 summary["bpp"], summary.get("psnr", float("nan")))
-
-    import pandas as pd
-    out = Path(cfg.get("output_path", "outputs/rd_sweep"))
-    out.mkdir(parents=True, exist_ok=True)
-    df = pd.DataFrame(rows).sort_values("bpp")
-    df.to_csv(out / "rd_curve.csv", index=False)
-    log.info("wrote %s", out / "rd_curve.csv")
+        # persist after EVERY point: a failing checkpoint later in the
+        # sweep must not discard hours of completed points
+        pd.DataFrame(rows).sort_values("bpp").to_csv(csv_path,
+                                                     index=False)
+        log.info("point %s: bpp=%.4f psnr=%.2f (csv updated)",
+                 point["name"], summary["bpp"],
+                 summary.get("psnr", float("nan")))
+    log.info("wrote %s", csv_path)
     return rows
 
 

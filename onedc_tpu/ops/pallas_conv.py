@@ -216,68 +216,77 @@ def conv3x3(x, w, bias: Optional[jnp.ndarray] = None, *,
 # relayouts), with the GN-affine + SiLU + zero-border mask applied
 # in-kernel so the normalized tensor never exists in HBM at all.
 
-V2_ROWS = 4
-
-
 def _kernel_v2(xp_ref, w_ref, mul_ref, add_ref, out_ref, slab_ref,
                shift_ref, sem_ref, *, n_k: int, width: int, height: int,
-               fuse: bool, slots: int):
+               rows: int, fuse: bool):
     """xp_ref: (H+2, W+8, C) padded input in HBM (left pad 1, right pad
-    7 for sublane alignment headroom). Per grid step i we DMA rows
-    [i*ROWS, i*ROWS+ROWS+2) once per K block, transform IN PLACE in
-    VMEM, and accumulate 9 shifted matmuls."""
+    7 for sublane headroom). The slab covers the FULL channel dim and is
+    DMA'd + transformed + dx-shifted ONCE per spatial block (at the
+    first cout block j==0; scratch persists across the sequential TPU
+    grid), so the raw x really is read from HBM exactly once."""
     i = pl.program_id(0)
+    j = pl.program_id(1)
+    cin = n_k * LANE
 
-    def dma(slot, k):
-        return pltpu.make_async_copy(
-            xp_ref.at[pl.ds(i * V2_ROWS, V2_ROWS + 2), :,
-                      pl.ds(k * LANE, LANE)],
-            slab_ref.at[slot], sem_ref.at[slot])
-
-    dma(0, 0).start()
-    acc = jnp.zeros((V2_ROWS * width, LANE), jnp.float32)
-    for k in range(n_k):
-        slot = k % slots
-        if slots > 1 and k + 1 < n_k:
-            dma(1 - slot, k + 1).start()
-        dma(slot, k).wait()
+    @pl.when(j == 0)
+    def _load_and_stage():
+        cp = pltpu.make_async_copy(
+            xp_ref.at[pl.ds(i * rows, rows + 2)], slab_ref, sem_ref)
+        cp.start()
+        cp.wait()
         if fuse:
-            mul = mul_ref[0, pl.ds(k * LANE, LANE)].astype(jnp.float32)
-            add = add_ref[0, pl.ds(k * LANE, LANE)].astype(jnp.float32)
-            # f32 VPU math (Mosaic miscompiles bf16 sigmoid broadcasts);
-            # written back IN PLACE so the f32 temp dies before the
-            # matmul loop (VMEM budget)
-            raw = slab_ref[slot]
+            mul = mul_ref[0].astype(jnp.float32)
+            add = add_ref[0].astype(jnp.float32)
+            raw = slab_ref[...]
+            # f32 VPU math (Mosaic miscompiles bf16 sigmoid broadcasts)
             t = (raw.astype(jnp.float32) * mul[None, None, :]
                  + add[None, None, :])
             t = t * jax.nn.sigmoid(t)
             # zero the padding so conv-of-silu(gn(x)) semantics hold:
             # cols < 1 or >= width+1 are W-padding; rows outside the
-            # image (top row of block 0, bottom row of the last block)
+            # image are the top/bottom halo of the first/last block
             col = jax.lax.broadcasted_iota(
-                jnp.int32, (V2_ROWS + 2, width + 8, 1), 1)
+                jnp.int32, (rows + 2, width + 8, 1), 1)
             colmask = (col >= 1) & (col < width + 1)
             row = jax.lax.broadcasted_iota(
-                jnp.int32, (V2_ROWS + 2, width + 8, 1), 0) + i * V2_ROWS
+                jnp.int32, (rows + 2, width + 8, 1), 0) + i * rows
             rowmask = (row >= 1) & (row < height + 1)
-            slab_ref[slot] = jnp.where(
+            slab_ref[...] = jnp.where(
                 colmask & rowmask, t, jnp.zeros_like(t)).astype(raw.dtype)
-        slab = slab_ref[slot]  # (ROWS+2, W+8, LANE)
-        # hoist the sublane-offset relayouts: 3 dx shifts ONCE per
-        # K block (instead of 9 per-matmul offset slices)
+        slab = slab_ref[...]  # (rows+2, W+8, C)
         for dx in range(3):
             shift_ref[dx] = jax.lax.slice(
-                slab, (0, dx, 0), (V2_ROWS + 2, dx + width, LANE))
-        if slots == 1 and k + 1 < n_k:
-            dma(0, k + 1).start()  # overlap next DMA with the matmuls
+                slab, (0, dx, 0), (rows + 2, dx + width, cin))
+
+    acc = jnp.zeros((rows * width, LANE), jnp.float32)
+    for k in range(n_k):
         for dy in range(3):
             for dx in range(3):
-                xs = shift_ref[dx, pl.ds(dy, V2_ROWS)]  # aligned rows
-                xs = xs.reshape(V2_ROWS * width, LANE)
+                xs = shift_ref[dx, pl.ds(dy, rows), :,
+                               pl.ds(k * LANE, LANE)]
+                xs = xs.reshape(rows * width, LANE)
                 acc = acc + jnp.dot(
                     xs, w_ref[dy, dx, pl.ds(k * LANE, LANE), :],
                     preferred_element_type=jnp.float32)
     out_ref[:] = acc.astype(out_ref.dtype)
+
+
+_V2_BUDGET = 13 * 1024 * 1024
+
+
+def _v2_rows_for(width: int, cin: int, itemsize: int):
+    """Largest row block whose scratch fits the VMEM budget (None if
+    even the smallest doesn't — caller falls back to XLA)."""
+    for rows in (8, 6, 4, 2):
+        slab = (rows + 2) * (width + 8) * cin * itemsize
+        shifts = 3 * (rows + 2) * width * cin * itemsize
+        acc = rows * width * LANE * 4
+        outb = rows * width * LANE * itemsize
+        wts = 9 * cin * LANE * itemsize
+        ftmp = slab * 2  # transient f32 transform (at itemsize 2)
+        if slab + shifts + acc + outb + wts + ftmp <= _V2_BUDGET:
+            return rows
+    return None
 
 
 def _conv3x3_v2_single(x, w, mul=None, add=None):
@@ -285,12 +294,22 @@ def _conv3x3_v2_single(x, w, mul=None, add=None):
 
     x (H, W, Cin); when mul/add are given the kernel computes
     conv(silu(x*mul+add)) with zero borders — the raw x is the ONLY HBM
-    input (the normalized tensor is never materialized).
+    input, read exactly once (the normalized tensor never exists in
+    HBM). Falls back to the XLA composition when the scratch would not
+    fit VMEM (see _v2_rows_for).
     """
     h, width, cin = x.shape
     cout = w.shape[-1]
     n_k = cin // LANE
     fuse = mul is not None
+    rows = _v2_rows_for(width, cin, x.dtype.itemsize)
+    if rows is None or h % rows:
+        t = x
+        if fuse:
+            t = jax.nn.silu(x * mul + add)
+        return jax.lax.conv_general_dilated(
+            t[None], w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
 
     # (H+2, W+8, C): top/bottom halo rows + left pad 1 / right pad 7
     xp = jnp.pad(x, ((1, 1), (1, 7), (0, 0)))
@@ -301,11 +320,10 @@ def _conv3x3_v2_single(x, w, mul=None, add=None):
         mul2 = jnp.ones((1, cin), x.dtype)
         add2 = jnp.zeros((1, cin), x.dtype)
 
-    slots = 1 if n_k == 1 else 2
-    grid = (h // V2_ROWS, cout // LANE)
+    grid = (h // rows, cout // LANE)
     out = pl.pallas_call(
         functools.partial(_kernel_v2, n_k=n_k, width=width, height=h,
-                          fuse=fuse, slots=slots),
+                          rows=rows, fuse=fuse),
         out_shape=jax.ShapeDtypeStruct((h * width, cout), x.dtype),
         grid=grid,
         in_specs=[
@@ -317,13 +335,13 @@ def _conv3x3_v2_single(x, w, mul=None, add=None):
             pl.BlockSpec((1, cin), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((V2_ROWS * width, LANE),
+        out_specs=pl.BlockSpec((rows * width, LANE),
                                lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((slots, V2_ROWS + 2, width + 8, LANE), x.dtype),
-            pltpu.VMEM((3, V2_ROWS + 2, width, LANE), x.dtype),
-            pltpu.SemaphoreType.DMA((slots,)),
+            pltpu.VMEM((rows + 2, width + 8, cin), x.dtype),
+            pltpu.VMEM((3, rows + 2, width, cin), x.dtype),
+            pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * h * width * cin * cout * 9,

@@ -75,15 +75,13 @@ def convert_onedc(unet, codec, vae, codeformer, out, overrides):
     import jax
     import jax.numpy as jnp
 
-    from ..config import Config
+    from ..config import parse_cli_overrides
     from ..models.onedc import OneDC
     from .checkpoint import save_safetensors
     from .port_torch import port_onedc_checkpoint
 
-    cfg = Config.wrap({})
-    for ov in overrides:
-        key, _, val = ov.partition("=")
-        cfg.set_path(key, val)
+    # YAML-typed key.path=value overrides (same semantics as every CLI)
+    cfg = parse_cli_overrides(overrides)
     model = OneDC(**dict(cfg.get("model", {})))
     key = jax.random.PRNGKey(0)
     ref_params = jax.jit(lambda: model.init(
@@ -120,6 +118,8 @@ def main(argv=None):
     s.add_argument("--out", required=True)
 
     args, extra = p.parse_known_args(argv)
+    if args.cmd != "onedc" and extra:
+        p.error(f"unrecognized arguments: {extra}")
     if args.cmd == "inception":
         convert_inception(args.src, args.out)
     elif args.cmd == "dists":
