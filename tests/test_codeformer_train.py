@@ -6,6 +6,7 @@ VERDICT round-1 item 2: the trainer must train the codeformer jointly
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,6 +27,7 @@ def _leaf_diff(a, b):
                                jax.tree_util.tree_leaves(b)))
 
 
+@pytest.mark.slow
 def test_codeformer_losses_train_codeformer_and_freeze_vqgan():
     model = OneDC(**TINY)
     key = jax.random.PRNGKey(0)

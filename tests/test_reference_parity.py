@@ -538,3 +538,31 @@ def test_bit_estimator_cdf_tables_match_reference(ref, rng):
 class _RecordingCoder:
     def add_cdf(self, cdf, length, offset):
         return 0
+
+
+def test_gaussian_prob_and_bits_parity_real(ref, rng):
+    """Training-time Gaussian probability / bit estimates (these drive
+    the lambda*bpp term of the RD loss) vs the real reference."""
+    from onedc_tpu.entropy.gaussian import gaussian_prob, laplace_prob
+
+    vals = rng.normal(size=(4, 4, 8)).astype(np.float32) * 5.0
+    scales = np.abs(rng.normal(size=(4, 4, 8)).astype(np.float32)) * 2.0
+
+    t_prob = ref.em.GaussianEncoder.get_gaussian_prob(
+        torch.tensor(vals), torch.tensor(scales)).numpy()
+    j_prob = np.asarray(jax.jit(gaussian_prob)(
+        jnp.asarray(vals), jnp.asarray(scales)))
+    np.testing.assert_allclose(j_prob, t_prob, rtol=1e-5, atol=1e-7)
+
+    t_lap = ref.em.GaussianEncoder.get_laplace_prob(
+        torch.tensor(vals), torch.tensor(scales)).numpy()
+    j_lap = np.asarray(jax.jit(laplace_prob)(
+        jnp.asarray(vals), jnp.asarray(scales)))
+    np.testing.assert_allclose(j_lap, t_lap, rtol=1e-5, atol=1e-7)
+
+    # probs -> bits (compression_model.probs_to_bits)
+    from onedc_tpu.entropy.gaussian import probs_to_bits
+    cm = ref.cm.CompressionModel(y_distribution="gaussian", z_channel=8)
+    t_bits = cm.probs_to_bits(torch.tensor(t_prob)).numpy()
+    j_bits = np.asarray(jax.jit(probs_to_bits)(jnp.asarray(j_prob)))
+    np.testing.assert_allclose(j_bits, t_bits, rtol=1e-5, atol=1e-6)

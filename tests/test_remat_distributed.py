@@ -1,6 +1,7 @@
 """Remat training step + single-process distributed helpers."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -19,6 +20,7 @@ TINY = dict(
 )
 
 
+@pytest.mark.slow
 def test_remat_step_matches_plain():
     model = OneDC(**TINY)
     key = jax.random.PRNGKey(0)
