@@ -29,9 +29,21 @@ LOG_SCALE_MIN = math.log(SCALE_MIN)
 LOG_SCALE_MAX = math.log(SCALE_MAX)
 LOG_SCALE_STEP = (LOG_SCALE_MAX - LOG_SCALE_MIN) / (SCALE_LEVELS - 1)
 
+# per-distribution scale-table config (ref entropy_models.py:256-267):
+# laplace uses scale_min 0.01 with the same 256-level log spacing
+DIST_SCALE_MIN = {"gaussian": SCALE_MIN, "laplace": 0.01}
 
-def scale_table(dtype=np.float32) -> np.ndarray:
-    return np.exp(np.linspace(LOG_SCALE_MIN, LOG_SCALE_MAX, SCALE_LEVELS)).astype(dtype)
+
+def _log_scale_params(distribution: str):
+    lo = math.log(DIST_SCALE_MIN[distribution])
+    hi = math.log(SCALE_MAX)
+    return lo, (hi - lo) / (SCALE_LEVELS - 1)
+
+
+def scale_table(dtype=np.float32, distribution: str = "gaussian") -> np.ndarray:
+    lo = math.log(DIST_SCALE_MIN[distribution])
+    return np.exp(np.linspace(lo, math.log(SCALE_MAX),
+                              SCALE_LEVELS)).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -81,7 +93,7 @@ def gaussian_bits(y, sigma, training: bool = True):
     return probs_to_bits(probs)
 
 
-def build_indexes(scales, skip_thres=None):
+def build_indexes(scales, skip_thres=None, distribution: str = "gaussian"):
     """Map sigma -> scale-table index; < skip_thres -> -1 (skip symbol).
 
     Always computes in f32 (bf16 pipelines feed bf16 scales; the integer
@@ -89,9 +101,10 @@ def build_indexes(scales, skip_thres=None):
     ON DEVICE lets the four-part decode ship int16 indexes to the host
     instead of f32 scales (half the bytes per round trip).
     """
+    log_min, log_step = _log_scale_params(distribution)
     scales = scales.astype(jnp.float32)
     safe = jnp.maximum(scales, 1e-5)
-    idx = (jnp.log(safe) - LOG_SCALE_MIN) / LOG_SCALE_STEP
+    idx = (jnp.log(safe) - log_min) / log_step
     idx = jnp.clip(idx, 0, SCALE_LEVELS - 1).astype(jnp.int32)
     if skip_thres is not None:
         idx = jnp.where(scales < skip_thres, -1, idx)
@@ -106,21 +119,33 @@ def _normal_cdf(x: np.ndarray, sigma: np.ndarray) -> np.ndarray:
     return 0.5 * (1.0 + sp_special.erf(x / (sigma * np.sqrt(2.0))))
 
 
-def build_gaussian_cdf_table(precision: int = 16, allow_vendored: bool = True):
+def _laplace_cdf(x: np.ndarray, scale: np.ndarray) -> np.ndarray:
+    # CDF of Laplace(0, scale): 0.5 + 0.5*sign(x)*(1 - exp(-|x|/scale))
+    return 0.5 + 0.5 * np.sign(x) * (1.0 - np.exp(-np.abs(x) / scale))
+
+
+_DIST_CDF = {"gaussian": _normal_cdf, "laplace": _laplace_cdf}
+
+
+def build_cdf_table(precision: int = 16, allow_vendored: bool = True,
+                    distribution: str = "gaussian"):
     """Quantized CDF bank for the 256-entry scale table.
 
     Mirrors ``GaussianEncoder.update`` (entropy_models.py:313-353): per-scale
     support half-width = smallest i in [2, 50] with CDF(i) > 0.9999; PMF over
-    [-c, c] plus a tail bucket of 2*CDF(-c-0.5).
+    [-c, c] plus a tail bucket of 2*CDF(-c-0.5). ``distribution`` selects the
+    gaussian (scale_min 0.11) or laplace (scale_min 0.01) family — both are
+    reference capabilities (entropy_models.py:253-267); OneDC ships gaussian.
 
     Bitstream interop with the reference requires BIT-IDENTICAL tables on
-    both sides, and the reference computes PMFs with torch float32 erf —
-    which differs from a float64 computation by 1 ulp on ~5% of the scale
-    rows (enough to shift a dozen quantized CDF entries by 1). The default
-    therefore loads a vendored table captured from the reference's own
-    ``GaussianEncoder.update`` (data/gaussian_cdf16.npz; see
-    tests/test_reference_parity.py which re-derives and checks it). The
-    numpy computation below is the executable spec / fallback.
+    both sides, and the reference computes PMFs with torch float32
+    erf/exp — which differs from a float64 computation by 1 ulp on a few
+    percent of the scale rows (enough to shift a dozen quantized CDF
+    entries by 1). The default therefore loads a vendored table captured
+    from the reference's own ``GaussianEncoder.update``
+    (data/{gaussian,laplace}_cdf16.npz; see tests/test_reference_parity.py
+    which re-derives and checks both). The numpy computation below is the
+    executable spec / fallback.
 
     Returns (quantized_cdf int32 [256, max_len+2], cdf_length int32, offset
     int32).
@@ -128,24 +153,25 @@ def build_gaussian_cdf_table(precision: int = 16, allow_vendored: bool = True):
     if allow_vendored and precision == 16:
         import os
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "data", "gaussian_cdf16.npz")
+                            "data", f"{distribution}_cdf16.npz")
         if os.path.exists(path):
             d = np.load(path)
             return (d["quantized_cdf"].astype(np.int32),
                     d["cdf_length"].astype(np.int32),
                     d["offset"].astype(np.int32))
-    scales = scale_table(np.float64)
+    cdf_fn = _DIST_CDF[distribution]
+    scales = scale_table(np.float64, distribution)
     centers = np.full(SCALE_LEVELS, 50, dtype=np.int64)
     for i in range(50, 1, -1):
-        probs = _normal_cdf(np.float64(i), scales)
+        probs = cdf_fn(np.float64(i), scales)
         centers = np.where(probs > 0.9999, i, centers)
     pmf_length = 2 * centers + 1
     max_length = int(pmf_length.max())
 
     samples = np.arange(max_length, dtype=np.float64)[None, :] - centers[:, None]
     sig = scales[:, None]
-    upper = _normal_cdf(samples + 0.5, sig)
-    lower = _normal_cdf(samples - 0.5, sig)
+    upper = cdf_fn(samples + 0.5, sig)
+    lower = cdf_fn(samples - 0.5, sig)
     pmf = (upper - lower).astype(np.float32)
     tail_mass = (2.0 * lower[:, :1]).astype(np.float32)
 
@@ -157,10 +183,21 @@ def build_gaussian_cdf_table(precision: int = 16, allow_vendored: bool = True):
     return quantized, (pmf_length + 2).astype(np.int32), (-centers).astype(np.int32)
 
 
-class GaussianConditionalCoder:
-    """Host bridge: registers CDFs with an EntropyCoder, encodes/decodes."""
+def build_gaussian_cdf_table(precision: int = 16, allow_vendored: bool = True):
+    return build_cdf_table(precision, allow_vendored, "gaussian")
 
-    def __init__(self):
+
+class GaussianConditionalCoder:
+    """Host bridge: registers CDFs with an EntropyCoder, encodes/decodes.
+
+    ``distribution`` selects the gaussian or laplace scale family, like the
+    reference ``GaussianEncoder(distribution=...)`` (entropy_models.py:253).
+    """
+
+    def __init__(self, distribution: str = "gaussian"):
+        assert distribution in DIST_SCALE_MIN, distribution
+        self.distribution = distribution
+        self._log_min, self._log_step = _log_scale_params(distribution)
         self.entropy_coder = None
         self.cdf_group_index = None
         self._quantized_cdf = None
@@ -173,7 +210,7 @@ class GaussianConditionalCoder:
         if not force and self._offset is not None:
             return
         self._quantized_cdf, self._cdf_length, self._offset = (
-            build_gaussian_cdf_table())
+            build_cdf_table(distribution=self.distribution))
         self.cdf_group_index = self.entropy_coder.add_cdf(
             self._quantized_cdf, self._cdf_length, self._offset)
 
@@ -185,10 +222,13 @@ class GaussianConditionalCoder:
         self._cdf_length = np.asarray(cdf_length, np.int32).reshape(-1)
         self._offset = np.asarray(offset, np.int32).reshape(-1)
 
-    @staticmethod
-    def _indexes_np(scales: np.ndarray, skip_thres=None) -> np.ndarray:
-        safe = np.maximum(scales, 1e-5)
-        idx = (np.log(safe) - LOG_SCALE_MIN) / LOG_SCALE_STEP
+    def _indexes_np(self, scales: np.ndarray, skip_thres=None) -> np.ndarray:
+        # f32 like the device build_indexes / the reference's torch path:
+        # the integer index must not depend on the host float width
+        scales = np.asarray(scales, np.float32)
+        safe = np.maximum(scales, np.float32(1e-5))
+        idx = (np.log(safe) - np.float32(self._log_min)) \
+            / np.float32(self._log_step)
         idx = np.clip(idx, 0, SCALE_LEVELS - 1).astype(np.int32)
         if skip_thres is not None:
             idx = np.where(scales < skip_thres, -1, idx)

@@ -194,6 +194,10 @@ def inception_score(logits: np.ndarray, splits: int = 10) -> Tuple[float, float]
     logp = logits - logits.max(axis=1, keepdims=True)
     p = np.exp(logp)
     p /= p.sum(axis=1, keepdims=True)
+    # torchmetrics randomly permutes features before splitting; patches
+    # arrive grouped per image here, so an in-order split would correlate
+    # the splits. Fixed seed keeps the metric deterministic.
+    p = p[np.random.default_rng(42).permutation(len(p))]
     n = len(p)
     scores = []
     for part in np.array_split(p, min(splits, n)):

@@ -99,21 +99,28 @@ def test_two_folders(real_dir, fake_dir, out_csv=None,
 def _write_report(rows, summary, out_path):
     """CSV always; .xlsx like the reference when an engine is available
     (test_quality.py:296-302 emits quality_detail/summary xlsx)."""
+    from pathlib import Path
+
     import pandas as pd
-    out_path = str(out_path)
+    out_path = Path(out_path)
     detail = pd.DataFrame(rows)
     summ = pd.DataFrame([summary])
-    if out_path.endswith(".xlsx"):
+
+    def summary_path(p: Path) -> Path:
+        return p.with_name(p.stem + "_summary" + (p.suffix or ".csv"))
+
+    if out_path.suffix == ".xlsx":
         try:
             detail.to_excel(out_path, index=False)
-            summ.to_excel(out_path.replace(".xlsx", "_summary.xlsx"),
-                          index=False)
+            summ.to_excel(summary_path(out_path), index=False)
             return
         except (ImportError, ModuleNotFoundError):
             log.warning("no xlsx engine installed; writing CSV instead")
-            out_path = out_path.replace(".xlsx", ".csv")
+            out_path = out_path.with_suffix(".csv")
+    if out_path.suffix != ".csv":
+        out_path = out_path.with_suffix(out_path.suffix + ".csv")
     detail.to_csv(out_path, index=False)
-    summ.to_csv(out_path.replace(".csv", "_summary.csv"), index=False)
+    summ.to_csv(summary_path(out_path), index=False)
 
 
 def main(argv=None):

@@ -154,11 +154,35 @@ class Trainer:
     # -- eval epoch (ref :220-266) -------------------------------------------
 
     def eval_one_epoch(self, step: int, max_images: int = 16):
+        """Evaluate the TRAINING objective on the eval set.
+
+        Mirrors the reference (train_sd15_codec_stage1.py:220-266): the
+        full RD loss (pix + LPIPS when configured + lambda*bpp, with the
+        lambda schedule evaluated at the current step) — so the metric
+        the best checkpoint is selected by (``total_loss``) is the same
+        objective the trainer optimizes. Codeformer distillation terms are
+        included when the model trains them (the reference evals only the
+        pixel loss; adding them keeps eval == train objective).
+        """
         if self.eval_loader is None:
             return {}
         avg = AvgDict()
         if not hasattr(self, "_eval_fwd"):
-            self._eval_fwd = jax.jit(lambda p, x: self.model.apply(p, x))
+            cf_w = float(self.cfg.get("codeformer_loss_weight", 1e-3))
+            cf_mse_w = float(self.cfg.get("codeformer_mse_weight", 1e-2))
+
+            def eval_fwd(p, x, step):
+                enc_dict, pred = self.model.apply(p, x)
+                total, ld = self.loss(x, pred, enc_dict["bpp"], step=step,
+                                      training=True)
+                ld["bpp_hard_y"] = enc_dict["bpp_hard_y"]
+                if "code_ce_loss" in enc_dict:
+                    cf = (enc_dict["code_ce_loss"]
+                          + enc_dict["code_mse_loss"] * cf_mse_w)
+                    ld["total_loss"] = total + cf * cf_w
+                    ld["codeformer_loss"] = cf
+                return ld, pred
+            self._eval_fwd = jax.jit(eval_fwd)
         eval_fwd = self._eval_fwd
         for i, batch in enumerate(self.eval_loader):
             if i >= max_images:
@@ -167,11 +191,12 @@ class Trainer:
             # center-crop to x64 for static shapes
             h, w = img.shape[1] // 64 * 64, img.shape[2] // 64 * 64
             img = img[:, :h, :w]
-            enc_dict, pred = eval_fwd(self.state.params, img)
-            mse = float(jnp.mean((pred - img) ** 2))
-            avg.update({"eval_mse": mse,
-                        "eval_psnr": -10 * np.log10(max(mse / 4, 1e-12)),
-                        "eval_bpp": float(enc_dict["bpp_hard_y"])})
+            ld, pred = eval_fwd(self.state.params, img,
+                                jnp.asarray(step, jnp.int32))
+            mse = float(jnp.mean((jnp.asarray(pred) - img) ** 2))
+            avg.update({k: float(v) for k, v in ld.items()})
+            avg.update({"mse": mse,
+                        "psnr": -10 * np.log10(max(mse / 4, 1e-12))})
             if i == 0:
                 self.writer.log_image("eval/recon", np.asarray(pred[0]), step)
                 self.writer.log_image("eval/gt", np.asarray(img[0]), step)
@@ -198,7 +223,10 @@ class Trainer:
                              step + 1, m["total_loss"], m["bpp"], dt)
                 if (step + 1) % self.save_interval == 0:
                     ev = self.eval_one_epoch(step + 1)
-                    metric = ev.get("eval_mse")
+                    # best-checkpoint selection by the full training
+                    # objective (ref monitor_key total_loss,
+                    # train_sd15_codec_stage1.py:346-356)
+                    metric = ev.get("total_loss")
                     self.ckpt.save(
                         jax.device_get(self.state), step + 1, metric)
         self.writer.flush()

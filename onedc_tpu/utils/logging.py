@@ -178,9 +178,9 @@ def make_writer(log_dir, enabled: Optional[bool] = None,
     if wandb_project:
         try:
             return MultiWriter(tb, WandbWriter(wandb_project, run_name))
-        except ImportError:
+        except Exception as e:  # import, auth, or network (zero-egress)
             get_logger().warning(
-                "wandb_project set but wandb is not installed; TB only")
+                "wandb unavailable (%s); logging to TensorBoard only", e)
     return tb
 
 

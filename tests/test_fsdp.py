@@ -63,6 +63,136 @@ def test_device_put_actually_shards():
     assert placed["kernel"].addressable_shards[0].data.shape == (3, 3, 64, 32)
 
 
+def _assert_legal_specs(shapes_tree, shardings_tree, axis_size):
+    """Every leaf gets a legal spec: sharded dims divide the axis;
+    replicated leaves are either small or have no divisible dim."""
+    shapes = jax.tree_util.tree_leaves_with_path(shapes_tree)
+    shardings = jax.tree_util.tree_leaves(shardings_tree)
+    assert len(shapes) == len(shardings)
+    n_sharded = 0
+    for (path, leaf), sh in zip(shapes, shardings):
+        shape = tuple(leaf.shape)
+        spec = sh.spec
+        sharded_dims = [i for i, s in enumerate(spec) if s is not None]
+        assert len(sharded_dims) <= 1, (path, spec)
+        if sharded_dims:
+            i = sharded_dims[0]
+            assert shape[i] % axis_size == 0, (path, shape, spec)
+            n_sharded += 1
+        else:
+            size = int(np.prod(shape)) if shape else 0
+            divisible = any(d % axis_size == 0 and d > 0 for d in shape)
+            assert size < MIN_SHARD_SIZE or not divisible, \
+                f"{path}: {shape} replicated but shardable"
+    return n_sharded
+
+
+def test_flagship_tree_fsdp_specs():
+    """VERDICT round-2 item 6: apply fsdp_shardings to the REAL flagship
+    param + optimizer trees (1.33B OneDC + SDGuidance pair) via
+    jax.eval_shape — zero FLOPs, catches real-tree corner cases (odd
+    GroupNorm vectors, Adafactor factored state) the synthetic-shape unit
+    tests can't."""
+    from onedc_tpu.models.dmd import SDGuidance
+    from onedc_tpu.models.onedc import OneDC
+    from onedc_tpu.train.step import create_train_state
+
+    devices = jax.devices("cpu")[:8]
+    mesh = make_mesh(devices)
+    axis = mesh.shape["data"]
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+
+    # flagship stage-1 composite (full SD1.5 channel config)
+    model = OneDC(use_codeformer=True)
+    img = jax.ShapeDtypeStruct((1, 512, 512, 3), jnp.float32)
+    params = jax.eval_shape(
+        lambda k, x: model.init({"params": k}, x), key, img)
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(params))
+    assert n_params > 1e9, n_params  # really the flagship tree
+
+    for opt in ("adamw", "adafactor"):
+        state = jax.eval_shape(
+            lambda p: create_train_state(model, p, optimizer=opt), params)
+        sh = fsdp_shardings(mesh, state)
+        n_sharded = _assert_legal_specs(state, sh, axis)
+        assert n_sharded > 100, (opt, n_sharded)
+
+    # stage-2 guidance pair (real + fake UNet + GAN head)
+    g = SDGuidance()
+    lat = jax.ShapeDtypeStruct((1, 64, 64, 4), jnp.float32)
+    ctx = jax.ShapeDtypeStruct((1, 77, 768), jnp.float32)
+    gparams = jax.eval_shape(
+        lambda k, l, t, u: g.init({"params": k}, l, t, u,
+                                  jax.random.PRNGKey(1),
+                                  method=g.generator_forward),
+        key, lat, ctx, ctx)
+    gstate = jax.eval_shape(
+        lambda p: create_train_state(g, p, optimizer="adafactor",
+                                     frozen=("real_unet",)), gparams)
+    gsh = fsdp_shardings(mesh, gstate)
+    n_sharded = _assert_legal_specs(gstate, gsh, axis)
+    assert n_sharded > 100, n_sharded
+
+
+def test_fsdp_sharded_codec_train_step():
+    """Fast-loop FSDP coverage (VERDICT round-2 item 9): one REAL
+    FSDP-sharded optimizer step — params + Adam moments split over the
+    8-device mesh, batch sharded over the same axis, XLA inserting the
+    all-gather/reduce-scatter collectives — on the latent codec (the
+    full-composite version of this test stays ``slow``)."""
+    import optax
+    from jax.sharding import NamedSharding
+
+    from onedc_tpu.models.codec import LatentCodec
+    from onedc_tpu.parallel.mesh import batch_sharding
+
+    devices = jax.devices("cpu")[:8]
+    mesh = make_mesh(devices)
+
+    codec = LatentCodec(cond_ch=4, ctrl_ch=32, internal_ch=64,
+                        bottleneck_ch=32, unet_ch_config=(32, 64, 64))
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (8, 64, 64, 3), minval=-1, maxval=1)
+    cond = jax.random.normal(key, (8, 8, 8, 4)) * 0.2
+    params = jax.jit(lambda x, c: codec.init({"params": key}, x, c))(
+        img[:1], cond[:1])
+
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+
+    def step(params, opt_state, img, cond, rng):
+        def loss_fn(p):
+            out = codec.apply(p, img, cond, training=True, noise_rng=rng)
+            return jnp.mean((out["x_hat"] - 0.1) ** 2) + 0.01 * out["bpp"]
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    p_sh = fsdp_shardings(mesh, params)
+    o_sh = fsdp_shardings(mesh, opt_state)
+    params = jax.device_put(params, p_sh)
+    opt_state = jax.device_put(opt_state, o_sh)
+    img = jax.device_put(img, batch_sharding(mesh))
+    cond = jax.device_put(cond, batch_sharding(mesh))
+    rep = NamedSharding(mesh, P())
+    jitted = jax.jit(step, in_shardings=(p_sh, o_sh, batch_sharding(mesh),
+                                         batch_sharding(mesh), rep),
+                     out_shardings=(p_sh, o_sh, None))
+    with mesh:
+        new_params, new_opt, loss = jitted(
+            params, opt_state, img, cond,
+            jax.device_put(jax.random.PRNGKey(1), rep))
+    assert np.isfinite(float(loss))
+    # params AND adam moments really are split 8 ways
+    for tree in (new_params, new_opt):
+        leaves = [x for x in jax.tree_util.tree_leaves(tree)
+                  if hasattr(x, "addressable_shards")]
+        assert any(len(x.addressable_shards) == 8
+                   and x.addressable_shards[0].data.size < x.size
+                   for x in leaves)
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_fsdp_step():
     """Run the exact driver dryrun: FSDP-sharded full train step, 8 devices.

@@ -257,11 +257,14 @@ def test_vqgan_encoder_quantize_parity_real(ref, rng):
                                rtol=5e-4, atol=5e-4)
 
 
-def test_gaussian_cdf_tables_match_reference(ref):
+@pytest.mark.parametrize("distribution", ["gaussian", "laplace"])
+def test_cdf_tables_match_reference(ref, distribution):
     """Run the REAL reference GaussianEncoder.update (with the CDF
     quantizer monkeypatched to our golden-validated implementation) and
-    compare the resulting tables with ours bit-exactly."""
-    from onedc_tpu.entropy.gaussian import build_gaussian_cdf_table
+    compare the resulting tables with ours bit-exactly — for both the
+    gaussian (scale_min 0.11) and laplace (scale_min 0.01) families
+    (ref entropy_models.py:253-267)."""
+    from onedc_tpu.entropy.gaussian import build_cdf_table
     from onedc_tpu.ops.rans import pmf_to_quantized_cdf_np
 
     class FakeCoder:
@@ -277,21 +280,22 @@ def test_gaussian_cdf_tables_match_reference(ref):
             pmf_to_quantized_cdf_np(np.asarray(pmf, np.float32),
                                     precision).astype(np.int64)))
     try:
-        enc = ref.em.GaussianEncoder(distribution="gaussian")
+        enc = ref.em.GaussianEncoder(distribution=distribution)
         fake = FakeCoder()
         enc.update(force=True, entropy_coder=fake)
     finally:
         ref.em.EntropyCoder.pmf_to_quantized_cdf = orig
 
     # the shipped (vendored) table is bit-exact vs the reference
-    ours_cdf, ours_len, ours_off = build_gaussian_cdf_table()
+    ours_cdf, ours_len, ours_off = build_cdf_table(distribution=distribution)
     np.testing.assert_array_equal(ours_len, fake.length)
     np.testing.assert_array_equal(ours_off, fake.offset)
     np.testing.assert_array_equal(ours_cdf, fake.cdf)
 
     # the numpy fallback spec matches supports/offsets exactly and CDF
-    # values up to the documented f32-erf 1-ulp drift (a handful of rows)
-    np_cdf, np_len, np_off = build_gaussian_cdf_table(allow_vendored=False)
+    # values up to the documented f32 erf/exp 1-ulp drift (a few rows)
+    np_cdf, np_len, np_off = build_cdf_table(allow_vendored=False,
+                                             distribution=distribution)
     np.testing.assert_array_equal(np_len, fake.length)
     np.testing.assert_array_equal(np_off, fake.offset)
     bad_rows = np.any(np_cdf != fake.cdf, axis=1)
@@ -301,6 +305,37 @@ def test_gaussian_cdf_tables_match_reference(ref):
         row = np_cdf[i, :np_len[i]]
         assert row[0] == 0 and row[-1] == (1 << 16)
         assert np.all(np.diff(row) > 0)
+
+    # coder-bridge round trip: encode/decode laplace-indexed symbols
+    # through the real rANS coder with the vendored bank
+    from onedc_tpu.entropy.coder import EntropyCoder
+    from onedc_tpu.entropy.gaussian import (
+        GaussianConditionalCoder,
+        build_indexes,
+        scale_table,
+    )
+    ec = EntropyCoder()
+    gc = GaussianConditionalCoder(distribution=distribution)
+    gc.update(force=True, entropy_coder=ec)
+    rng = np.random.default_rng(3)
+    # off-boundary scales: exact table entries sit on floor() boundaries
+    # where a 1-ulp log difference between host and device flips the index
+    tbl = scale_table(distribution=distribution)
+    scales = (rng.choice(tbl[:-1], 512)
+              * rng.uniform(1.01, 1.2, 512)).astype(np.float32)
+    syms = np.clip(rng.normal(0, scales), -40, 40).round().astype(np.int16)
+    # host indexes agree with the jittable device build_indexes
+    np.testing.assert_array_equal(
+        gc._indexes_np(scales),
+        np.asarray(build_indexes(jnp.asarray(scales),
+                                 distribution=distribution)))
+    ec.reset()
+    gc.encode(syms, scales)
+    ec.flush()
+    stream = ec.get_encoded_stream()
+    ec.set_stream(stream)
+    dec = gc.decode_stream(scales)
+    np.testing.assert_array_equal(dec.astype(np.int16), syms)
 
 
 def test_four_part_masks_match_reference(ref):

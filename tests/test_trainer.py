@@ -55,12 +55,26 @@ def test_trainer_two_steps(tmp_path):
     ))
     from onedc_tpu.train.trainer import Trainer
     tr = Trainer(cfg)
+    # capture the best-ckpt selection metric (must be the full training
+    # objective, ref train_sd15_codec_stage1.py:346-356 monitor total_loss)
+    saved = []
+    orig_save = tr.ckpt.save
+    tr.ckpt.save = lambda state, step, metric=None: (
+        saved.append(metric), orig_save(state, step, metric))[-1]
     tr.train()
 
     assert int(tr.state.step) == 2
     ckpts = list((tmp_path / "run").glob("checkpoint_model_*"))
     assert len(ckpts) == 1 and ckpts[0].name.endswith("000002")
     assert (tmp_path / "run" / "checkpoints_best").exists()
+
+    # eval evaluates the training objective: loss components present and
+    # the best metric handed to the ckpt manager is eval total_loss
+    ev = tr.eval_one_epoch(step=2)
+    for key in ("total_loss", "pix", "bpp", "weighted_bpp", "bpp_hard_y",
+                "mse", "psnr"):
+        assert key in ev, key
+    assert saved == [pytest.approx(ev["total_loss"], rel=1e-5)]
 
     # resume restores the step counter
     tr2 = Trainer(cfg)
