@@ -71,10 +71,22 @@ class Evaluator:
         (self.out_dir / "bin").mkdir(parents=True, exist_ok=True)
         (self.out_dir / "recon").mkdir(parents=True, exist_ok=True)
 
+    def _load_captions(self):
+        """Optional ``captions_file`` (JSON {image stem: caption}): the
+        caption rides the bitstream container (ref entropy/utils.py:95-105;
+        consumed by stage-2 guidance)."""
+        path = self.cfg.get("captions_file")
+        if not path:
+            return {}
+        import json
+        with open(path) as f:
+            return json.load(f)
+
     def evaluate(self):
         cfg = self.cfg
         ds = ImageFolderDataset(cfg.dataset_path)
         assert len(ds), f"no images under {cfg.dataset_path}"
+        captions = self._load_captions()
         rows = []
         avg = AvgDict()
         for i in range(len(ds)):
@@ -82,9 +94,11 @@ class Evaluator:
             name = item["name"]
             img = jnp.asarray(item["image"])[None]
             bin_path = self.out_dir / "bin" / f"{name}.bin"
+            caption = captions.get(name, item.get("caption", ""))
 
             t0 = time.perf_counter()
-            _, bpp = self.runtime.encode(img, fp=str(bin_path))
+            _, bpp = self.runtime.encode(img, fp=str(bin_path),
+                                         caption=caption)
             t_enc = time.perf_counter() - t0
 
             t0 = time.perf_counter()

@@ -56,6 +56,12 @@ class OneDC(nn.Module):
     vae_block_channels: Sequence[int] = (128, 256, 512, 512)
     vae_attn_patch: int = 16
     vae_scaling_factor: float = 0.18215
+    # use_large_vae=False decodes through the taesd TinyVAE (scaling 1.0)
+    # while ENCODE stays on the large VAE encoder — exactly the
+    # reference's flag semantics (model_..._stage1.py:39-54,184-195).
+    # ~45 ms of the 768px decode is the large VAE decoder (ROADMAP).
+    use_large_vae: bool = True
+    tiny_vae_ch: int = 64
     conditioning_timestep: int = 999
     num_train_timesteps: int = 1000
     # codeformer semantic distillation (stage-I only; ref
@@ -86,6 +92,9 @@ class OneDC(nn.Module):
             force_zero_thres=self.force_zero_thres,
             compute_dtype=self.compute_dtype)
         self.alphas_cumprod = make_alphas_cumprod(self.num_train_timesteps)
+        if not self.use_large_vae:
+            from ..nn.vae import TinyVaeDecoder
+            self.vae_tiny_dec = TinyVaeDecoder(ch=self.tiny_vae_ch)
         if self.use_codeformer:
             from ..nn.vqgan import MaskGitVQGAN
             from .codeformer import Codeformer
@@ -108,6 +117,9 @@ class OneDC(nn.Module):
         return jax.lax.stop_gradient(z * self.vae_scaling_factor)
 
     def vae_decode_image(self, latents):
+        if not self.use_large_vae:
+            # taesd config.scaling_factor == 1.0: latents pass unscaled
+            return self.vae_tiny_dec(latents)
         return self.vae.decode(latents / self.vae_scaling_factor)
 
     # -- one-step generation -------------------------------------------------
@@ -183,6 +195,27 @@ class OneDC(nn.Module):
         pred_image, _ = self.generate(x_hat, y_semantic)
         return pred_image
 
+    # staged halves of decode_device for the pipelined serving path: the
+    # host dispatches stage A (codec finish + UNet -> x0) and stage B
+    # (VAE decode) of image i BETWEEN the four-part prior updates of
+    # image i+1, so the rANS host work of i+1 executes while the device
+    # chews on i's NN stages (single serial device queue — overlap comes
+    # from dispatch ORDER, see OneDCRuntime._decode_bucket_pipelined).
+    # The split costs one tiny x0 (B,H/8,W/8,4) HBM round trip.
+
+    def decode_device_x0(self, y_hat, z_semantic):
+        x_hat, y_semantic = self.codec.decompress_finish(y_hat, z_semantic)
+        b = x_hat.shape[0]
+        tokens = y_semantic.reshape(b, -1, y_semantic.shape[-1]) \
+            if y_semantic.ndim == 4 else y_semantic
+        t = jnp.full((b,), self.conditioning_timestep, jnp.int32)
+        eps, reduced = self.unet(x_hat, t, tokens)
+        x0 = get_x0_from_noise(reduced, eps, self.alphas_cumprod, t)
+        return x0.astype(x_hat.dtype)
+
+    def decode_device_vae(self, x0):
+        return self.vae_decode_image(x0)
+
     def decode_device_z_only(self, z_indices):
         x_hat, y_semantic = self.codec.decompress_z_only(z_indices)
         pred_image, _ = self.generate(x_hat, y_semantic)
@@ -232,6 +265,11 @@ class OneDCRuntime:
             p, yh, zs, method=model.decode_device))
         self._decode_z_only = jax.jit(lambda p, zi: model.apply(
             p, zi, method=model.decode_device_z_only))
+        # staged halves for the pipelined serving path
+        self._decode_x0 = jax.jit(lambda p, yh, zs: model.apply(
+            p, yh, zs, method=model.decode_device_x0))
+        self._decode_vae = jax.jit(lambda p, x0: model.apply(
+            p, x0, method=model.decode_device_vae))
 
     def update(self, force: bool = False):
         self._codec_rt.update(force)
@@ -333,22 +371,47 @@ class OneDCRuntime:
         return results
 
     def decode_batch(self, streams, mesh=None):
-        """Decode N same-padded-size bitstreams as one device batch.
+        """Decode N bitstreams, batching same-padded-size streams.
 
         The four-part prior forces 4 host<->device round trips per decode
         (SURVEY.md section 3.2); batching shares them across images, the
         per-stream rANS decodes run on a thread pool, and with ``mesh``
         the device batch is sharded over the data axis (tiles/images ride
-        separate chips). Returns a list of (1,H,W,3) images.
+        separate chips). Mixed sizes (e.g. a Kodak folder of portrait +
+        landscape images) are bucketed by padded size — one device batch
+        per bucket, results returned in input order. Mesh-padding rows
+        decode zero symbols (no redundant rANS/stream replay).
+        Returns a list of (1,H,W,3) images.
         """
         rt = self._codec_rt
-        n = len(streams)
         from ..entropy.framing import decode_i
         decs = [decode_i(s, rt.fsq.index_bits, self.ds) for s in streams]
-        pad_hw = {(d["pad_height"], d["pad_width"]) for d in decs}
-        assert len(pad_hw) == 1, f"mixed padded sizes: {pad_hw}"
-        ph, pw = pad_hw.pop()
+
+        buckets: Dict[Tuple[int, int], list] = {}
+        for i, d in enumerate(decs):
+            buckets.setdefault((d["pad_height"], d["pad_width"]),
+                               []).append(i)
+
+        out: list = [None] * len(decs)
+        for (ph, pw), idxs in buckets.items():
+            preds = self._decode_bucket([decs[i] for i in idxs],
+                                        ph, pw, mesh)
+            for row, i in enumerate(idxs):
+                d = decs[i]
+                pl, pr, pt, pb = d["pad_tuple"]
+                h, w = ph - pt - pb, pw - pl - pr
+                out[i] = preds[row:row + 1, pt:pt + h, pl:pl + w, :].astype(
+                    jnp.float32)
+        return out
+
+    def _decode_bucket(self, decs, ph: int, pw: int, mesh=None):
+        """One same-padded-size device batch -> padded predictions."""
+        rt = self._codec_rt
+        n = len(decs)
         zh, zw = ph // self.ds, pw // self.ds
+
+        if mesh is None and not self.model.z_only and n > 1:
+            return self._decode_bucket_pipelined(decs, zh, zw)
 
         z_indices = np.stack([
             rt.fsq.unpack_indices(d["bit_stream_z"], zh * zw).reshape(zh, zw)
@@ -360,21 +423,88 @@ class OneDCRuntime:
             zi = jnp.asarray(z_indices)
             if sharding is not None:
                 zi = jax.device_put(zi, sharding)
-            preds = self._decode_z_only(self.params, zi)
-        else:
-            # padded rows replay the last real stream (same CDFs/shape)
-            coders = rt.make_stream_coders(
-                [d["bit_stream_y"] for d in decs]
-                + [decs[-1]["bit_stream_y"]] * (len(z_indices) - n))
-            y_hat, z_semantic = rt.run_four_part_decode(
-                z_indices, coders, sharding=sharding)
-            preds = self._decode_dev(self.params, y_hat, z_semantic)
+            return self._decode_z_only(self.params, zi)
+        coders = rt.make_stream_coders([d["bit_stream_y"] for d in decs])
+        y_hat, z_semantic = rt.run_four_part_decode(
+            z_indices, coders, sharding=sharding)
+        return self._decode_dev(self.params, y_hat, z_semantic)
 
-        out = []
-        for i, d in enumerate(decs):
-            pl, pr, pt, pb = d["pad_tuple"]
-            h = d["pad_height"] - pt - pb
-            w = d["pad_width"] - pl - pr
-            out.append(preds[i:i + 1, pt:pt + h, pl:pl + w, :].astype(
-                jnp.float32))
-        return out
+    def _decode_bucket_pipelined(self, decs, zh: int, zw: int,
+                                 chunk: Optional[int] = None):
+        """Software-pipelined decode over a stream of images.
+
+        The four-part prior's host rANS<->device ping-pong cannot overlap
+        within ONE image (true data dependency, SURVEY section 7.6), and
+        the device queue is a single FIFO — so overlap comes from
+        dispatch ORDER across images: the two big NN stages (x0 = codec
+        finish + UNet, then VAE) of chunk i are enqueued BETWEEN the
+        prior-update programs of chunk i+1. Each host fetch waits only on
+        the small update that precedes the big stage in the queue, so the
+        host runs chunk i+1's rANS while the device chews chunk i's NN
+        (VERDICT round-2 item 1; measured in BENCH_r03 / ROADMAP).
+
+        The prior-loop programs are identical to the serial path; the NN
+        body runs as two programs instead of one fused one (x0 crosses
+        HBM at the same f32->dtype cast as the fused path), so outputs
+        match the serial path to float epsilon
+        (tests/test_onedc.py::test_decode_batch_matches_sequential).
+        """
+        import os
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        rt = self._codec_rt
+        if chunk is None:
+            chunk = int(os.environ.get("ONEDC_PIPELINE_CHUNK", "1"))
+        chunks = [decs[i:i + chunk] for i in range(0, len(decs), chunk)]
+
+        pending: deque = deque()
+        x0s: Dict[int, Any] = {}
+        outs: Dict[int, Any] = {}
+
+        def mk_x0(ci, y_hat, z_sem):
+            def f():
+                x0s[ci] = self._decode_x0(self.params, y_hat, z_sem)
+            return f
+
+        def mk_vae(ci):
+            def f():
+                outs[ci] = self._decode_vae(self.params, x0s.pop(ci))
+            return f
+
+        with ThreadPoolExecutor(max_workers=min(chunk, 16)) as pool:
+            for ci, cd in enumerate(chunks):
+                z_indices = np.stack([
+                    rt.fsq.unpack_indices(d["bit_stream_z"],
+                                          zh * zw).reshape(zh, zw)
+                    for d in cd])
+                coders = rt.make_stream_coders(
+                    [d["bit_stream_y"] for d in cd])
+                st = rt._begin(rt.params, jnp.asarray(z_indices))
+                y_hat, means, common = st["y_hat"], st["means"], st["common"]
+                idx = np.asarray(st["indexes_r"])
+                for step in range(4):
+                    if len(coders) == 1:
+                        parts = [coders[0].decode_stream_with_indexes(idx[0])]
+                    else:
+                        parts = list(pool.map(
+                            lambda i: coders[i].decode_stream_with_indexes(
+                                idx[i]), range(len(coders))))
+                    nxt = rt._update[step](rt.params,
+                                           jnp.asarray(np.stack(parts)),
+                                           means, y_hat, common)
+                    y_hat, means = nxt["y_hat"], nxt["means"]
+                    # enqueue one big NN stage of an EARLIER chunk after
+                    # this small update: the fetch below waits only on
+                    # the update; the host rANS of the next step then
+                    # overlaps the big stage's execution
+                    if pending:
+                        pending.popleft()()
+                    if step < 3:
+                        idx = np.asarray(nxt["indexes_r"])
+                pending.append(mk_x0(ci, y_hat, st["z_semantic"]))
+                pending.append(mk_vae(ci))
+            while pending:
+                pending.popleft()()
+        return jnp.concatenate([outs[ci] for ci in range(len(chunks))],
+                               axis=0)

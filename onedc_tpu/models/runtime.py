@@ -166,15 +166,19 @@ class CodecRuntime:
     def run_four_part_decode(self, z_indices, coders, sharding=None):
         """THE four-step host loop, shared by every decode flavor: rANS
         decode of part i feeds the prior net of part i+1 (ref
-        compression_model.py:369-407). ``coders``: one per batch item;
-        per-stream rANS decodes ride a thread pool (the C++ calls drop
-        the GIL). ``sharding``: optional NamedSharding to place device
-        arrays (batch over the mesh data axis).
+        compression_model.py:369-407). ``coders``: one per REAL batch
+        item; rows past ``len(coders)`` are mesh-padding rows and get
+        zero-filled symbols (their outputs are dropped by the caller) —
+        no redundant rANS work. Per-stream rANS decodes ride a thread
+        pool (the C++ calls drop the GIL). ``sharding``: optional
+        NamedSharding to place device arrays (batch over the mesh data
+        axis).
 
         Returns (y_hat, z_semantic).
         """
         n = len(coders)
-        assert z_indices.shape[0] == n, (z_indices.shape, n)
+        n_rows = z_indices.shape[0]
+        assert n_rows >= n, (z_indices.shape, n)
 
         def put(a):
             return jax.device_put(a, sharding) if sharding is not None else a
@@ -183,7 +187,7 @@ class CodecRuntime:
         y_hat, means, common = st["y_hat"], st["means"], st["common"]
         indexes_r = st["indexes_r"]
 
-        if n == 1:
+        if n == 1 and n_rows == 1:
             for step in range(4):
                 y_q_r = coders[0].decode_stream_with_indexes(
                     np.asarray(indexes_r))
@@ -199,6 +203,9 @@ class CodecRuntime:
                     parts = list(pool.map(
                         lambda i: coders[i].decode_stream_with_indexes(
                             idx[i]), range(n)))
+                    if n_rows > n:  # zero-fill mesh-padding rows
+                        pad = np.zeros_like(parts[0])
+                        parts += [pad] * (n_rows - n)
                     y_q_r = put(jnp.asarray(np.stack(parts)))
                     nxt = self._update[step](self.params, y_q_r, means,
                                              y_hat, common)

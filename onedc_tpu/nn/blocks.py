@@ -171,13 +171,21 @@ def group_norm_affine(x, scale, bias, num_groups=32, eps=1e-6):
     ind = jnp.asarray(np.repeat(np.eye(g, dtype=np.float32), cpg, axis=0),
                       x.dtype)
     n = h * w * cpg
-    # f32 accumulation without materializing an f32 copy of x
+    # f32 accumulation without materializing an f32 copy of x.
+    # Precision HIGHEST is required: the default TPU f32 matmul runs
+    # bf16-like passes, and the E[x^2]-mean^2 cancellation below then
+    # goes negative far beyond eps -> rsqrt(negative) = NaN. (B=1 happens
+    # to lower to an exact reduction, so the bug only bit at B>=2 —
+    # caught round 3 by the batched-decode finiteness checks.)
     s1 = jnp.einsum("bhwc,cg->bg", x, ind,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     s2 = jnp.einsum("bhwc,bhwc,cg->bg", x, x, ind,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     mean_g = s1 / n
-    var_g = s2 / n - mean_g ** 2
+    # clamp: exact-arithmetic var >= 0; f32 rounding may still dip below
+    var_g = jnp.maximum(s2 / n - mean_g ** 2, 0.0)
     inv_g = jax.lax.rsqrt(var_g + eps)
     # broadcast group stats back to channels and fold with the affine
     inv_c = jnp.repeat(inv_g, cpg, axis=-1)

@@ -3,7 +3,9 @@
 A Flax/NHWC re-implementation of the reference's modified ``UNet2DModel``
 (``encoder_unet.py:137-161``): down path AttnDown/AttnDown/Down with
 channels (512, 768, 768) and 2 layers per block, mid block with attention,
-mirrored up path, fixed t=999 time conditioning, and a replaced ``conv_in``
+up path AttnUp/AttnUp/Up applied deepest-first (attention at /64 and /32 —
+not a mirror of the down path), fixed t=999 time conditioning, and a
+replaced ``conv_in``
 (3 VQGAN-style resnet blocks + stride-2 conv, so the UNet runs at /16 with
 a /64 mid). Forward returns ``(y /16, sem /64)`` where sem is the mid-block
 feature used as the semantic hyperprior input.
@@ -192,10 +194,12 @@ class EncoderUNet(nn.Module):
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
         ch0 = self.ch_config[0]
 
-        # fixed t=999 conditioning (encoder_unet.py:76-87)
+        # fixed t=999 conditioning (encoder_unet.py:76-87). The reference
+        # constructs UNet2DModel with library-default time embedding:
+        # flip_sin_to_cos=True, freq_shift=0 (diffusers 0.32 unet_2d.py).
         timesteps = jnp.full((x.shape[0],), 999, jnp.int32)
         t_emb = sinusoidal_time_embedding(
-            timesteps, ch0, flip_sin_to_cos=True, downscale_freq_shift=1.0)
+            timesteps, ch0, flip_sin_to_cos=True, downscale_freq_shift=0.0)
         temb = TimestepEmbedding(ch0 * 4, name="time_embedding")(t_emb)
 
         # replaced conv_in: 3 resnet blocks + stride-2 conv (/8 -> /16)
@@ -218,7 +222,12 @@ class EncoderUNet(nn.Module):
         h = MidBlock2D(self.ch_config[-1], name="mid_block")(h, temb)
         sem = h  # /64 semantic feature (768 ch)
 
-        up_types = [False, True, True]  # Up, AttnUp, AttnUp (reversed down)
+        # up_block_types=("AttnUpBlock2D","AttnUpBlock2D","UpBlock2D")
+        # applied in order from the DEEPEST block (diffusers unet_2d.py
+        # builds up_blocks[i] = up_block_types[i] starting right after
+        # mid): attention at /64 and /32, plain at /16 — NOT a mirror of
+        # the down path (attn at /16 and /32).
+        up_types = [True, True, False]
         rev_ch = list(reversed(self.ch_config))
         for i, ch in enumerate(rev_ch):
             is_final = i == n - 1

@@ -35,16 +35,20 @@ from .step import TrainState, make_masked_optimizer, make_optimizer
 def create_stage2_states(onedc: OneDC, onedc_params,
                          guidance: SDGuidance, guidance_params,
                          gen_lr: float = 1e-6, guid_lr: float = 1e-6,
-                         warmup_steps: int = 500, grad_clip: float = 10.0):
+                         warmup_steps: int = 500, grad_clip: float = 10.0,
+                         optimizer: str = "adamw"):
     """Generator state (codec+vae frozen) + guidance state (real_unet
-    frozen)."""
+    frozen). ``optimizer="adafactor"`` fits the full-size three-UNet
+    plan in single-chip HBM (see train/step.py:make_optimizer)."""
     gen_tx = make_masked_optimizer(
-        onedc_params, make_optimizer(gen_lr, warmup_steps, grad_clip),
+        onedc_params, make_optimizer(gen_lr, warmup_steps, grad_clip,
+                                     optimizer=optimizer),
         ("vae", "codec"))
     gen_state = TrainState.create(apply_fn=onedc.apply, params=onedc_params,
                                   tx=gen_tx)
     guid_tx = make_masked_optimizer(
-        guidance_params, make_optimizer(guid_lr, warmup_steps, grad_clip),
+        guidance_params, make_optimizer(guid_lr, warmup_steps, grad_clip,
+                                        optimizer=optimizer),
         ("real_unet",))
     guid_state = TrainState.create(apply_fn=guidance.apply,
                                    params=guidance_params, tx=guid_tx)
@@ -55,12 +59,23 @@ def make_generator_step(onedc: OneDC, guidance: SDGuidance,
                         rd_loss: Optional[RDLoss] = None,
                         dm_weight: float = 1.0,
                         gen_cls_weight: float = 1e-3,
-                        pix_weight: float = 0.625):
+                        pix_weight: float = 0.625,
+                        remat: bool = False):
     """Returns step(gen_state, guid_params, batch, text, uncond, rng) ->
     (gen_state, metrics, aux) where aux carries detached latents for the
-    guidance turn."""
+    guidance turn. ``remat`` rematerializes the OneDC forward during
+    backward (required to fit the full-size three-UNet plan in one
+    chip's HBM — SURVEY hard part 6)."""
     if rd_loss is None:
         rd_loss = RDLoss(lmbda=0.0)  # codec frozen: no bpp term (ref :33)
+
+    onedc_apply = onedc.apply
+    if remat:
+        onedc_apply = jax.checkpoint(
+            lambda p, img, rng: onedc.apply(p, img, training=True,
+                                            noise_rng=rng),
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            static_argnums=())
 
     def step(gen_state: TrainState, guid_params, batch, text_emb,
              uncond_emb, rng):
@@ -68,8 +83,11 @@ def make_generator_step(onedc: OneDC, guidance: SDGuidance,
         rng_noise, rng_guid = jax.random.split(rng)
 
         def loss_fn(params):
-            enc_dict, pred = onedc.apply(params, image, training=True,
-                                         noise_rng=rng_noise)
+            if remat:
+                enc_dict, pred = onedc_apply(params, image, rng_noise)
+            else:
+                enc_dict, pred = onedc.apply(params, image, training=True,
+                                             noise_rng=rng_noise)
             latents = enc_dict["x_latent_recon"]
             g = guidance.apply(guid_params, latents, text_emb, uncond_emb,
                                rng_guid, method=guidance.generator_forward)
@@ -100,16 +118,24 @@ def make_generator_step(onedc: OneDC, guidance: SDGuidance,
 
 
 def make_guidance_step(guidance: SDGuidance,
-                       guidance_cls_weight: float = 1e-2):
+                       guidance_cls_weight: float = 1e-2,
+                       remat: bool = False):
     """Returns step(guid_state, fake_latents, real_latents, text, uncond,
     rng) -> (guid_state, metrics)."""
+
+    guid_apply = guidance.apply
+    if remat:
+        guid_apply = jax.checkpoint(
+            lambda p, fl, rl, t, u, t2, rng: guidance.apply(
+                p, fl, rl, t, u, t2, rng,
+                method=guidance.guidance_forward),
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
     def step(guid_state: TrainState, fake_latents, real_latents, text_emb,
              uncond_emb, rng):
         def loss_fn(params):
-            out = guidance.apply(params, fake_latents, real_latents,
-                                 text_emb, uncond_emb, text_emb, rng,
-                                 method=guidance.guidance_forward)
+            out = guid_apply(params, fake_latents, real_latents,
+                             text_emb, uncond_emb, text_emb, rng)
             loss = (out["loss_fake_mean"]
                     + guidance_cls_weight * out.get("guidance_cls_loss", 0.0))
             return loss, out
@@ -160,7 +186,8 @@ class Stage2Trainer:
         self.gen_state, self.guid_state = create_stage2_states(
             self.onedc, onedc_params, self.guidance, guid_params,
             gen_lr=float(cfg.get("gen_lr", 1e-6)),
-            guid_lr=float(cfg.get("guid_lr", 1e-6)))
+            guid_lr=float(cfg.get("guid_lr", 1e-6)),
+            optimizer=cfg.get("optimizer", "adamw"))
         # distribute the two train states over the mesh: FSDP splits the
         # three-UNets-resident memory plan (student + real + fake) across
         # chips; plain DP replicates (VERDICT round-1 weak item 3)
@@ -188,15 +215,18 @@ class Stage2Trainer:
         rd = RDLoss(pix_weight=float(cfg.get("pix_weight", 1.0)),
                     lpips_weight=float(cfg.get("lpips_weight", 1.0)),
                     lmbda=0.0, lpips_fn=lpips_fn)
+        remat = bool(cfg.get("gradient_checkpointing", True))
         self.gen_step = jax.jit(make_generator_step(
             self.onedc, self.guidance, rd,
             dm_weight=float(cfg.get("dm_loss_weight", 1.0)),
             gen_cls_weight=float(cfg.get("gen_cls_loss_weight", 1e-3)),
-            pix_weight=float(cfg.get("pix_loss_weight", 0.625))))
+            pix_weight=float(cfg.get("pix_loss_weight", 0.625)),
+            remat=remat))
         self.guid_step = jax.jit(make_guidance_step(
             self.guidance,
             guidance_cls_weight=float(cfg.get("guidance_cls_loss_weight",
-                                              1e-2))))
+                                              1e-2)),
+            remat=remat))
 
         self._gen_latents = jax.jit(
             lambda p, img, rng: self.onedc.apply(

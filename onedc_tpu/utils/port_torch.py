@@ -204,12 +204,14 @@ _SD_UNET_RULES: List[Rule] = [
     (r"^(down_blocks|up_blocks)\.(\d)\.(downsamplers|upsamplers)\.0\.conv\.",
      r"\1_\2/\3_0/conv."),
     (r"^mid_block\.(resnets|attentions)\.(\d)\.", r"mid_block/\1_\2/"),
-    (r"\.transformer_blocks\.(\d)\.", r"/transformer_blocks_\1/"),
-    (r"\.ff\.net\.0\.proj\.", r"/ff/net_0/proj."),
-    (r"\.ff\.net\.2\.", r"/ff/net_2."),
-    (r"\.to_out\.0\.", r"/to_out_0."),
-    (r"\.attn(\d)\.", r"/attn\1/"),
-    (r"\.norm(\d)\.", r"/norm\1."),
+    # inner transformer rules accept both separators: the enclosing
+    # block rule above has already rewritten its suffix "." to "/"
+    (r"[./]transformer_blocks\.(\d)\.", r"/transformer_blocks_\1/"),
+    (r"[./]ff\.net\.0\.proj\.", r"/ff/net_0/proj."),
+    (r"[./]ff\.net\.2\.", r"/ff/net_2."),
+    (r"[./]to_out\.0\.", r"/to_out_0."),
+    (r"[./]attn(\d)\.", r"/attn\1/"),
+    (r"[./]norm(\d)\.", r"/norm\1."),
 ]
 
 _VAE_RULES: List[Rule] = [
@@ -266,9 +268,11 @@ _VQGAN_RULES: List[Rule] = [
     (r"^decoder\.up\.(\d)\.upsample_conv\.", r"decoder/up_\1_conv."),
 ]
 
-# generic: diffusers Attention's to_out is a ModuleList(Linear, Dropout)
+# generic: diffusers Attention's to_out is a ModuleList(Linear, Dropout).
+# Separator class [./]: an enclosing rule may already have rewritten the
+# preceding "." to "/" ("/" vs "." is immaterial before _finalize).
 _GENERIC_RULES: List[Rule] = [
-    (r"\.to_out\.0\.", r".to_out."),
+    (r"[./]to_out\.0\.", r".to_out."),
 ]
 
 # suffix of the torch attention resnet internals is shared:
@@ -325,9 +329,11 @@ def port_state_dict(state: Dict[str, np.ndarray], rules: List[Rule],
 # ---------------------------------------------------------------------------
 
 def port_codec_state(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """IntraNoAR state dict -> flat codec subtree (skips coder buffers)."""
+    """IntraNoAR state dict -> flat codec subtree (skips coder buffers
+    plus the pytorch_msssim window should a torch version persist it)."""
     return port_state_dict(state, _CODEC_RULES,
-                           skip=(r"^masks\.", r"bit_estimator", r"gaussian"))
+                           skip=(r"^masks\.", r"bit_estimator", r"gaussian",
+                                 r"^ssim\.", r"^z_vq\."))
 
 
 def port_sd_unet_state(state: Dict[str, np.ndarray],
@@ -361,19 +367,41 @@ def port_onedc_checkpoint(unet_path: Optional[str] = None,
                           codec_path: Optional[str] = None,
                           vae_path: Optional[str] = None,
                           codeformer_path: Optional[str] = None,
-                          reference_params=None):
+                          reference_params=None,
+                          require_complete: Tuple[str, ...] = ()):
     """Assemble a full OneDC param tree from reference checkpoint files.
 
     ``reference_params``: an initialized param tree used for structure and
-    dtype validation; ported tensors must match its shapes exactly.
+    dtype validation; ported tensors must match its shapes exactly. Each
+    ``*_path`` may be a file path or an in-memory torch-layout
+    ``{name: array}`` state dict. ``require_complete``: submodule names
+    ("unet", "codec", ...) whose model subtree must be FULLY covered by
+    the checkpoint — any leaf left at its initialized value raises.
     """
-    from safetensors.numpy import load_file
+    from .checkpoint import unflatten_params
 
-    from .checkpoint import flatten_params, unflatten_params
+    def load(src) -> Dict[str, np.ndarray]:
+        if isinstance(src, dict):
+            return src
+        from safetensors.numpy import load_file
+        return load_file(src)
+
+    def flatten(tree, prefix: str = "") -> Dict:
+        # leaf-preserving (unlike checkpoint.flatten_params): the
+        # reference tree may be jax.ShapeDtypeStructs from eval_shape
+        out: Dict = {}
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                key = f"{prefix}/{k}" if prefix else str(k)
+                out.update(flatten(v, key))
+        else:
+            out[prefix] = tree
+        return out
 
     assert reference_params is not None
-    flat_ref = flatten_params(reference_params)
+    flat_ref = flatten(reference_params)
     out = dict(flat_ref)
+    filled: set = set()
 
     def fill(sub: str, flat_src: Dict[str, np.ndarray]):
         for k, v in flat_src.items():
@@ -385,13 +413,22 @@ def port_onedc_checkpoint(unet_path: Optional[str] = None,
                     f"shape mismatch at {full}: ckpt {v.shape} vs "
                     f"model {flat_ref[full].shape}")
             out[full] = v.astype(flat_ref[full].dtype)
+            filled.add(full)
 
-    if unet_path:
-        fill("unet", port_sd_unet_state(load_file(unet_path)))
-    if codec_path:
-        fill("codec", port_codec_state(load_file(codec_path)))
-    if vae_path:
-        fill("vae", port_vae_state(load_file(vae_path)))
-    if codeformer_path:
-        fill("codeformer", port_codeformer_state(load_file(codeformer_path)))
+    if unet_path is not None:
+        fill("unet", port_sd_unet_state(load(unet_path)))
+    if codec_path is not None:
+        fill("codec", port_codec_state(load(codec_path)))
+    if vae_path is not None:
+        fill("vae", port_vae_state(load(vae_path)))
+    if codeformer_path is not None:
+        fill("codeformer", port_codeformer_state(load(codeformer_path)))
+
+    for sub in require_complete:
+        missing = [k for k in flat_ref
+                   if k.startswith(f"params/{sub}/") and k not in filled]
+        if missing:
+            raise KeyError(
+                f"checkpoint does not cover {len(missing)} model tensors "
+                f"under params/{sub}: {sorted(missing)[:8]} ...")
     return unflatten_params(out)

@@ -1,0 +1,74 @@
+"""Inference CLI (T3) end-to-end with random weights: encode -> .bin ->
+decode -> PNG + CSV reports, captions riding the container, and the
+--decoder_only mode (ref src/inference.py:102-146)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from onedc_tpu.config import Config
+from onedc_tpu.data.datasets import save_image
+
+TINY_MODEL = dict(
+    internal_ch=64, bottleneck_ch=32, unet_ch_config=[32, 64, 64],
+    ctrl_ch=32, sd_block_channels=[32, 32, 64, 64], context_dim=64,
+    vae_block_channels=[32, 32, 64, 64], vae_attn_patch=4,
+)
+
+
+@pytest.mark.slow
+def test_inference_cli_with_captions(tmp_path):
+    from onedc_tpu.entropy.framing import decode_i, read_from_file
+    from onedc_tpu.eval.inference import Evaluator
+
+    data_dir = tmp_path / "imgs"
+    data_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("kodim01", "kodim02"):
+        save_image(rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32),
+                   data_dir / f"{name}.png")
+    captions = {"kodim01": "a red boat on a lake"}
+    cap_path = tmp_path / "captions.json"
+    cap_path.write_text(json.dumps(captions))
+
+    out_dir = tmp_path / "out"
+    cfg = Config.wrap(dict(
+        model=TINY_MODEL, dataset_path=str(data_dir),
+        output_path=str(out_dir), captions_file=str(cap_path),
+        use_bf16=False))
+    ev = Evaluator(cfg)
+    summary = ev.evaluate()
+    assert summary["bpp"] > 0
+
+    # caption bytes really are in the CLI-produced .bin
+    data = read_from_file(str(out_dir / "bin" / "kodim01.bin"))
+    dec = decode_i(data, ev.runtime._codec_rt.fsq.index_bits,
+                   ev.runtime.ds)
+    assert dec["bit_stream_caption"] == b"a red boat on a lake"
+    data2 = read_from_file(str(out_dir / "bin" / "kodim02.bin"))
+    dec2 = decode_i(data2, ev.runtime._codec_rt.fsq.index_bits,
+                    ev.runtime.ds)
+    assert dec2["bit_stream_caption"] == b""
+
+    # reports + recon written
+    assert (out_dir / "bpp_detail.csv").exists()
+    assert (out_dir / "recon" / "kodim01.png").exists()
+    import pandas as pd
+    detail = pd.read_csv(out_dir / "bpp_detail.csv")
+    row = detail[detail.name == "kodim01"].iloc[0]
+    assert row["bits_caption"] == len(b"a red boat on a lake") * 8
+
+    # decoder_only: fresh Evaluator decodes the .bin with no encoder state
+    out2 = tmp_path / "out2"
+    cfg2 = Config.wrap(dict(model=TINY_MODEL, dataset_path=str(data_dir),
+                            output_path=str(out2), use_bf16=False))
+    ev2 = Evaluator(cfg2)
+    ev2.decode_only(out_dir / "bin")
+    a = np.asarray(
+        __import__("PIL.Image", fromlist=["Image"]).open(
+            out2 / "recon" / "kodim01.png"))
+    b = np.asarray(
+        __import__("PIL.Image", fromlist=["Image"]).open(
+            out_dir / "recon" / "kodim01.png"))
+    np.testing.assert_array_equal(a, b)

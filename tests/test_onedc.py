@@ -71,18 +71,44 @@ def test_encode_decode_round_trip(onedc_setup, tmp_path):
 
 
 def test_decode_batch_matches_sequential(onedc_setup):
+    """Batched decode == sequential decode, including MIXED padded sizes
+    (bucketed, e.g. a Kodak folder of portrait+landscape) and unpadded
+    odd sizes within a bucket."""
     model, params, img = onedc_setup
     rt = OneDCRuntime(model, params)
     rt.update()
     key = jax.random.PRNGKey(7)
-    imgs = [img, jnp.clip(img + 0.1 * jax.random.normal(key, img.shape),
-                          -1, 1)]
+    imgs = [img,
+            jnp.clip(img + 0.1 * jax.random.normal(key, img.shape), -1, 1),
+            img[:, :50, :39, :],                       # same 64x64 bucket
+            jnp.tile(img, (1, 1, 2, 1))[:, :60, :, :]]  # 64x128 bucket
     streams = [rt.encode(im)[0] for im in imgs]
     batched = rt.decode_batch(streams)
-    for s, b in zip(streams, batched):
+    assert len(batched) == len(imgs)
+    for im, s, b in zip(imgs, streams, batched):
+        assert b.shape == im.shape
         single = rt.decode(stream=s)
+        # pipelined NN body runs as two programs (x0 + VAE) vs the fused
+        # serial program: float-epsilon fusion differences only
         np.testing.assert_allclose(np.asarray(b), np.asarray(single),
-                                   rtol=1e-5, atol=1e-5)
+                                   atol=5e-4)
+
+
+def test_tiny_vae_decode_path(tmp_path):
+    """use_large_vae=False: encode rides the large VAE encoder, decode the
+    taesd TinyVAE (ref model_..._stage1.py:39-54,184-195)."""
+    model = OneDC(use_large_vae=False, **TINY)
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (1, 64, 64, 3), minval=-1, maxval=1)
+    params = jax.jit(lambda x: model.init({"params": key}, x))(img)
+    assert "vae_tiny_dec" in params["params"]
+    rt = OneDCRuntime(model, params)
+    rt.update(force=True)
+    stream, bpp = rt.encode(img)
+    assert bpp["bpp"] > 0
+    pred = rt.decode(stream=stream)
+    assert pred.shape == img.shape
+    assert np.all(np.isfinite(np.asarray(pred)))
 
 
 def test_decode_matches_eval_forward(onedc_setup):
