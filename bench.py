@@ -195,7 +195,7 @@ def bench_tinyvae(n: int = 6):
     return round(n / (t_large - t_small), 3)
 
 
-def bench_lambda_decode(model, params, n_streams: int = 8):
+def bench_lambda_decode(model, params, n_streams: int = 16):
     """Full lambda-family decode: bitstream -> image, timing the host rANS
     + 4 prior round trips + device NN (VERDICT round-1 weak item 2)."""
     import numpy as np

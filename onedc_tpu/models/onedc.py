@@ -455,7 +455,13 @@ class OneDCRuntime:
 
         rt = self._codec_rt
         if chunk is None:
-            chunk = int(os.environ.get("ONEDC_PIPELINE_CHUNK", "1"))
+            # measured on the v5e tunnel chip at 768px flagship bf16
+            # (round 3): chunk=8 7.94/s > chunk=4 5.48 > chunk=2 4.81 >
+            # chunk=1 4.28; the flat (non-interleaved) schedule at B=8
+            # gives 7.21/s and B=16 OOMs HBM. Larger chunks win because
+            # decode_dev batches well (62 ms/img at B=8 vs 88 at B=1)
+            # and the tunnel's fetch-under-load (~50 ms) amortizes.
+            chunk = int(os.environ.get("ONEDC_PIPELINE_CHUNK", "8"))
         chunks = [decs[i:i + chunk] for i in range(0, len(decs), chunk)]
 
         pending: deque = deque()

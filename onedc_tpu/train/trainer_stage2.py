@@ -123,12 +123,12 @@ def make_guidance_step(guidance: SDGuidance,
     """Returns step(guid_state, fake_latents, real_latents, text, uncond,
     rng) -> (guid_state, metrics)."""
 
-    guid_apply = guidance.apply
+    def guid_apply(p, fl, rl, t, u, t2, rng):
+        return guidance.apply(p, fl, rl, t, u, t2, rng,
+                              method=guidance.guidance_forward)
     if remat:
         guid_apply = jax.checkpoint(
-            lambda p, fl, rl, t, u, t2, rng: guidance.apply(
-                p, fl, rl, t, u, t2, rng,
-                method=guidance.guidance_forward),
+            guid_apply,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
     def step(guid_state: TrainState, fake_latents, real_latents, text_emb,
