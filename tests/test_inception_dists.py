@@ -86,9 +86,15 @@ def test_inception_score_behaviour():
     idx = np.arange(40) % 10
     sharp = np.full((40, 10), -20.0)
     sharp[np.arange(40), idx] = 20.0
-    # with 2 splits of 20, each split sees all 10 classes -> IS ~ 10
-    m2, _ = inception_score(sharp, splits=2)
+    # splits=1: the marginal over ALL samples is uniform -> IS = 10
+    # regardless of the torchmetrics-style pre-split shuffle
+    m2, _ = inception_score(sharp, splits=1)
     np.testing.assert_allclose(m2, 10.0, rtol=1e-6)
+    # multi-split IS is computed over SHUFFLED samples (the torchmetrics
+    # protocol): class-sorted inputs must NOT score as per-split-pure
+    sorted_sharp = sharp[np.argsort(idx)]
+    m3, _ = inception_score(sorted_sharp, splits=10)
+    assert m3 < 10.0 - 1e-3
 
 
 def test_to_uint8_range():
