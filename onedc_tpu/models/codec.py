@@ -332,14 +332,12 @@ class LatentCodec(nn.Module):
             reduction=self.y_spatial_prior_reduction,
             training=False, force_zero_thres=self.force_zero_thres,
             write=True)
-        # rANS write plan ships int16 CDF indexes, not f32 scales: the
+        # rANS write plan ships integer CDF indexes, not f32 scales: the
         # index map runs on device (entropy/gaussian.py:build_indexes) so
-        # the host transfer halves and the integer decision is identical
-        # between the compress and decompress programs' f32 math.
-        from ..entropy.gaussian import build_indexes
-        indexes_w = tuple(
-            build_indexes(s, self.force_zero_thres).astype(jnp.int16)
-            for s in scales_w)
+        # the host transfer shrinks and the integer decision is identical
+        # between the compress and decompress programs' f32 math. Indexes
+        # are 0..255 (uint8) unless force_zero_thres needs -1 (int16).
+        indexes_w = tuple(self._rans_indexes(s) for s in scales_w)
         return {
             "y_q_w": y_q_w,
             "indexes_w": indexes_w,
@@ -373,9 +371,15 @@ class LatentCodec(nn.Module):
         }
 
     def _rans_indexes(self, scales_r):
+        """CDF indexes in the smallest dtype that fits: uint8 (0..255)
+        normally, int16 when force_zero_thres can emit -1 skip markers.
+        This is THE hot device->host transfer of the serial four-part
+        decode loop (4 fetches per image); halving it matters through a
+        high-latency host link."""
         from ..entropy.gaussian import build_indexes
-        return build_indexes(scales_r,
-                             self.force_zero_thres).astype(jnp.int16)
+        idx = build_indexes(scales_r, self.force_zero_thres)
+        dtype = jnp.int16 if self.force_zero_thres is not None else jnp.uint8
+        return idx.astype(dtype)
 
     def decompress_update(self, step: int, y_q_r, means, y_hat_so_far, common):
         """Fold in decoded symbols of `step`, emit scales for step+1.

@@ -94,6 +94,25 @@ def test_decode_batch_matches_sequential(onedc_setup):
                                    atol=5e-4)
 
 
+def test_decode_batch_multi_chunk_schedule(onedc_setup, monkeypatch):
+    """chunk=1 forces the pipelined path through MULTIPLE chunk state
+    machines interleaved at depth 2 (copy_to_host_async lookahead); the
+    schedule must not change results vs the serial single decode."""
+    model, params, img = onedc_setup
+    monkeypatch.setenv("ONEDC_PIPELINE_CHUNK", "1")
+    rt = OneDCRuntime(model, params)
+    rt.update()
+    key = jax.random.PRNGKey(11)
+    imgs = [jnp.clip(img + 0.1 * jax.random.normal(
+        jax.random.fold_in(key, i), img.shape), -1, 1) for i in range(3)]
+    streams = [rt.encode(im)[0] for im in imgs]
+    batched = rt.decode_batch(streams)
+    for s, b in zip(streams, batched):
+        np.testing.assert_allclose(np.asarray(b),
+                                   np.asarray(rt.decode(stream=s)),
+                                   atol=5e-4)
+
+
 def test_tiny_vae_decode_path(tmp_path):
     """use_large_vae=False: encode rides the large VAE encoder, decode the
     taesd TinyVAE (ref model_..._stage1.py:39-54,184-195)."""
