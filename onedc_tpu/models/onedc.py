@@ -487,10 +487,20 @@ class OneDCRuntime:
             return f
 
         class _ChunkSM:
-            """Four-part prior loop for one chunk, one step at a time."""
+            """Four-part prior loop for one chunk, one step at a time.
 
-            def __init__(sm, ci, cd, pool):
-                sm.ci, sm.pool, sm.n = ci, pool, len(cd)
+            fetch + rANS run as a FUTURE in a worker thread: the index
+            fetch's real cost is waiting for its update program to reach
+            the front of the strict-FIFO device queue (~60 ms behind an
+            interleaved big stage, measured by cProfile round 3) — with
+            one future per in-flight chunk those waits run CONCURRENTLY
+            and the main thread only dispatches device work. The worker
+            decodes the chunk's streams serially (single-core host; the
+            old per-stream pool.map added overhead, not parallelism).
+            """
+
+            def __init__(sm, ci, cd, workers):
+                sm.ci, sm.workers, sm.n = ci, workers, len(cd)
                 z_indices = np.stack([
                     rt.fsq.unpack_indices(d["bit_stream_z"],
                                           zh * zw).reshape(zh, zw)
@@ -500,43 +510,57 @@ class OneDCRuntime:
                 st = rt._begin(rt.params, jnp.asarray(z_indices))
                 sm.y_hat, sm.means = st["y_hat"], st["means"]
                 sm.common, sm.z_semantic = st["common"], st["z_semantic"]
-                sm.idx_dev = st["indexes_r"]
-                sm.idx_dev.copy_to_host_async()
                 sm.step = 0
+                sm._issue(st["indexes_r"])
+
+            def _issue(sm, idx_dev):
+                idx_dev.copy_to_host_async()
+
+                def work():
+                    idx = np.asarray(idx_dev)
+                    return np.stack([
+                        sm.coders[i].decode_stream_with_indexes(idx[i])
+                        for i in range(sm.n)])
+
+                sm.fut = sm.workers.submit(work)
+
+            def ready(sm):
+                return sm.fut.done()
 
             def advance(sm):
                 """Run one prior step; True while more steps remain."""
-                idx = np.asarray(sm.idx_dev)  # fast: async copy in flight
-                if sm.n == 1:
-                    parts = [sm.coders[0].decode_stream_with_indexes(idx[0])]
-                else:
-                    parts = list(sm.pool.map(
-                        lambda i: sm.coders[i].decode_stream_with_indexes(
-                            idx[i]), range(sm.n)))
-                nxt = rt._update[sm.step](rt.params,
-                                          jnp.asarray(np.stack(parts)),
+                parts = sm.fut.result()
+                nxt = rt._update[sm.step](rt.params, jnp.asarray(parts),
                                           sm.means, sm.y_hat, sm.common)
                 sm.y_hat, sm.means = nxt["y_hat"], nxt["means"]
                 sm.step += 1
                 if sm.step < 4:
-                    sm.idx_dev = nxt["indexes_r"]
-                    sm.idx_dev.copy_to_host_async()
+                    sm._issue(nxt["indexes_r"])
                     return True
                 pending.append(mk_x0(sm.ci, sm.y_hat, sm.z_semantic))
                 pending.append(mk_vae(sm.ci))
                 return False
 
-        with ThreadPoolExecutor(max_workers=min(chunk, 16)) as pool:
+        with ThreadPoolExecutor(max_workers=depth) as workers:
             todo = deque(enumerate(chunks))
             live: deque = deque()
             while todo or live:
                 while todo and len(live) < depth:
-                    live.append(_ChunkSM(*todo.popleft(), pool))
-                sm = live.popleft()
+                    live.append(_ChunkSM(*todo.popleft(), workers))
+                # prefer a chunk whose symbols are already decoded; while
+                # none is ready, keep the device fed with a big stage,
+                # then block on the oldest
+                sm = next((s for s in live if s.ready()), None)
+                if sm is None and pending:
+                    pending.popleft()()
+                    sm = next((s for s in live if s.ready()), None)
+                if sm is None:
+                    sm = live[0]
+                live.remove(sm)
                 more = sm.advance()
                 # one big NN stage of an EARLIER chunk rides behind each
                 # small update: the next fetch waits only on the update,
-                # and the host rANS overlaps the big stage's execution
+                # and the workers' rANS overlaps the big stage's execution
                 if pending:
                     pending.popleft()()
                 if more:
