@@ -45,3 +45,15 @@ class EntropyCoder:
     def decode_stream(self, indexes, cdf_group_index: int) -> np.ndarray:
         return self.decoder.decode_stream(
             np.asarray(indexes).reshape(-1).astype(np.int16), cdf_group_index)
+
+    @staticmethod
+    def decode_streams(coders, indexes, cdf_group_index: int) -> np.ndarray:
+        """Batched decode over several EntropyCoders' streams in ONE
+        native call (ops.rans.decode_streams_multi). ``indexes``:
+        (n_coders, n). Identical output to per-coder ``decode_stream``."""
+        from ..ops.rans import decode_streams_multi
+
+        idx = np.asarray(indexes)
+        return decode_streams_multi(
+            [c.decoder for c in coders],
+            idx.reshape(len(coders), -1).astype(np.int16), cdf_group_index)

@@ -258,3 +258,18 @@ class GaussianConditionalCoder:
         vals = self.entropy_coder.decode_stream(indexes,
                                                 self.cdf_group_index)
         return vals.reshape(indexes.shape).astype(np.float32)
+
+    @staticmethod
+    def decode_streams_with_indexes(coders, indexes: np.ndarray) -> np.ndarray:
+        """Batched twin of ``decode_stream_with_indexes`` over several
+        coders' streams (one per batch row of ``indexes``), decoded in
+        ONE native call (EntropyCoder.decode_streams)."""
+        from .coder import EntropyCoder
+
+        indexes = np.asarray(indexes)
+        assert indexes.shape[0] == len(coders) and len(coders) > 0
+        gi = coders[0].cdf_group_index
+        assert all(c.cdf_group_index == gi for c in coders)
+        vals = EntropyCoder.decode_streams(
+            [c.entropy_coder for c in coders], indexes, gi)
+        return vals.reshape(indexes.shape).astype(np.float32)

@@ -518,9 +518,9 @@ class OneDCRuntime:
 
                 def work():
                     idx = np.asarray(idx_dev)
-                    return np.stack([
-                        sm.coders[i].decode_stream_with_indexes(idx[i])
-                        for i in range(sm.n)])
+                    # one native call decodes the whole chunk's streams
+                    return type(sm.coders[0]).decode_streams_with_indexes(
+                        sm.coders, idx.reshape(sm.n, -1)).reshape(idx.shape)
 
                 sm.fut = sm.workers.submit(work)
 

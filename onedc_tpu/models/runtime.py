@@ -169,10 +169,10 @@ class CodecRuntime:
         compression_model.py:369-407). ``coders``: one per REAL batch
         item; rows past ``len(coders)`` are mesh-padding rows and get
         zero-filled symbols (their outputs are dropped by the caller) —
-        no redundant rANS work. Per-stream rANS decodes ride a thread
-        pool (the C++ calls drop the GIL). ``sharding``: optional
-        NamedSharding to place device arrays (batch over the mesh data
-        axis).
+        no redundant rANS work. Multi-stream steps decode all streams in
+        ONE interleaved native call (ops.rans.decode_streams_multi).
+        ``sharding``: optional NamedSharding to place device arrays
+        (batch over the mesh data axis).
 
         Returns (y_hat, z_semantic).
         """
@@ -196,21 +196,19 @@ class CodecRuntime:
                 y_hat, means = nxt["y_hat"], nxt["means"]
                 indexes_r = nxt["indexes_r"]
         else:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=min(n, 16)) as pool:
-                for step in range(4):
-                    idx = np.asarray(indexes_r)
-                    parts = list(pool.map(
-                        lambda i: coders[i].decode_stream_with_indexes(
-                            idx[i]), range(n)))
-                    if n_rows > n:  # zero-fill mesh-padding rows
-                        pad = np.zeros_like(parts[0])
-                        parts += [pad] * (n_rows - n)
-                    y_q_r = put(jnp.asarray(np.stack(parts)))
-                    nxt = self._update[step](self.params, y_q_r, means,
-                                             y_hat, common)
-                    y_hat, means = nxt["y_hat"], nxt["means"]
-                    indexes_r = nxt["indexes_r"]
+            for step in range(4):
+                idx = np.asarray(indexes_r)
+                parts = type(coders[0]).decode_streams_with_indexes(
+                    coders, idx[:n].reshape(n, -1)).reshape(idx[:n].shape)
+                if n_rows > n:  # zero-fill mesh-padding rows
+                    parts = np.concatenate(
+                        [parts, np.zeros_like(idx[n:], dtype=parts.dtype)],
+                        axis=0)
+                y_q_r = put(jnp.asarray(parts))
+                nxt = self._update[step](self.params, y_q_r, means,
+                                         y_hat, common)
+                y_hat, means = nxt["y_hat"], nxt["means"]
+                indexes_r = nxt["indexes_r"]
         return y_hat, st["z_semantic"]
 
     def decode(self, fp=None, stream: Optional[bytes] = None):

@@ -214,48 +214,55 @@ class PartDecoder {
     pos_ = 4;
   }
 
+  // One symbol against group g's row cdf_idx (negative => skipped symbol,
+  // emits 0). Factored out of the loop so the multi-stream interleaved
+  // decode can drive many decoders' independent state chains from one
+  // loop (ILP: the state update of one chain overlaps the CDF lookup of
+  // the next on a single core).
+  inline int16_t decode_one(const CdfGroup &g, int32_t cdf_idx) {
+    if (cdf_idx < 0) return 0;
+    const int32_t *cdf = g.cdf_rows[cdf_idx].data();
+    const int32_t size = g.sizes[cdf_idx];
+    const int32_t max_value = size - 2;
+    const uint32_t cum = x_ & ((1u << kPrecision) - 1);
+
+    // coarse-table start + short scan (see InvBank)
+    int32_t s = g.inv->rows[cdf_idx][cum >> kInvShift];
+    while (s + 1 < size && static_cast<uint32_t>(cdf[s + 1]) <= cum) ++s;
+
+    advance(static_cast<uint32_t>(cdf[s]),
+            static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
+
+    int32_t value = s;
+    if (value == max_value) {
+      int32_t v = static_cast<int32_t>(get_bits(kBypassBits));
+      int32_t n_bypass = v;
+      while (v == kMaxBypassVal) {
+        v = static_cast<int32_t>(get_bits(kBypassBits));
+        n_bypass += v;
+      }
+      uint32_t raw_val = 0;
+      for (int32_t j = 0; j < n_bypass; ++j) {
+        raw_val |= get_bits(kBypassBits) << (j * kBypassBits);
+      }
+      value = static_cast<int32_t>(raw_val >> 1);
+      if (raw_val & 1) {
+        value = -value - 1;
+      } else {
+        value += max_value;
+      }
+    }
+    return static_cast<int16_t>(value + g.offsets[cdf_idx]);
+  }
+
   void decode(const int16_t *indexes, int n, int group_idx, int16_t *out) {
     const CdfGroup &g = *groups_[group_idx];
     for (int i = 0; i < n; ++i) {
-      const int32_t cdf_idx = indexes[i];
-      if (cdf_idx < 0) {
-        out[i] = 0;
-        continue;
-      }
-      const int32_t *cdf = g.cdf_rows[cdf_idx].data();
-      const int32_t size = g.sizes[cdf_idx];
-      const int32_t max_value = size - 2;
-      const uint32_t cum = x_ & ((1u << kPrecision) - 1);
-
-      // coarse-table start + short scan (see InvBank)
-      int32_t s = g.inv->rows[cdf_idx][cum >> kInvShift];
-      while (s + 1 < size && static_cast<uint32_t>(cdf[s + 1]) <= cum) ++s;
-
-      advance(static_cast<uint32_t>(cdf[s]),
-              static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
-
-      int32_t value = s;
-      if (value == max_value) {
-        int32_t v = static_cast<int32_t>(get_bits(kBypassBits));
-        int32_t n_bypass = v;
-        while (v == kMaxBypassVal) {
-          v = static_cast<int32_t>(get_bits(kBypassBits));
-          n_bypass += v;
-        }
-        uint32_t raw_val = 0;
-        for (int32_t j = 0; j < n_bypass; ++j) {
-          raw_val |= get_bits(kBypassBits) << (j * kBypassBits);
-        }
-        value = static_cast<int32_t>(raw_val >> 1);
-        if (raw_val & 1) {
-          value = -value - 1;
-        } else {
-          value += max_value;
-        }
-      }
-      out[i] = static_cast<int16_t>(value + g.offsets[cdf_idx]);
+      out[i] = decode_one(g, indexes[i]);
     }
   }
+
+  const CdfGroup &group(int idx) const { return *groups_[idx]; }
 
  private:
   void advance(uint32_t start, uint32_t freq) {
@@ -447,6 +454,23 @@ struct Decoder {
   }
 };
 
+// Multi-stream decode: one call decodes the SAME number of symbols from
+// n_dec independent decoders (SURVEY section 7's "batched rANS driven by
+// device-computed CDF indices") — a single native call for a whole serving
+// chunk instead of one ctypes round trip (or pooled thread) per stream.
+// Streams decode back to back: a round-robin ILP interleave of the state
+// chains was measured SLOWER on the serving bank (32.7 vs 39.3 Msym/s) —
+// the per-symbol loop is bounded by branch mispredicts (scan exit, renorm)
+// and per-cursor state traffic, not by chain latency, so interleaving only
+// added overhead. Semantics identical to per-decoder decode.
+void decode_multi(Decoder *const *ds, int n_dec, const int16_t *indexes,
+                  int n, int group_idx, int16_t *out) {
+  for (int d = 0; d < n_dec; ++d) {
+    ds[d]->decode(indexes + static_cast<size_t>(d) * n, n, group_idx,
+                  out + static_cast<size_t>(d) * n);
+  }
+}
+
 }  // namespace
 
 // --------------------------------------------------------------------------
@@ -503,6 +527,17 @@ void onedc_decoder_set_stream(void *d, const uint8_t *data, int n) {
 void onedc_decoder_decode(void *d, const int16_t *indexes, int n, int group,
                           int16_t *out) {
   static_cast<Decoder *>(d)->decode(indexes, n, group, out);
+}
+
+// `indexes`/`out` are row-major (n_dec, n); every decoder decodes row d.
+void onedc_decoder_decode_multi(void *const *handles, int n_dec,
+                                const int16_t *indexes, int n, int group,
+                                int16_t *out) {
+  std::vector<Decoder *> ds(static_cast<size_t>(n_dec));
+  for (int i = 0; i < n_dec; ++i) {
+    ds[static_cast<size_t>(i)] = static_cast<Decoder *>(handles[i]);
+  }
+  decode_multi(ds.data(), n_dec, indexes, n, group, out);
 }
 
 void onedc_decoder_clear_cdfs(void *d) {

@@ -92,6 +92,9 @@ def get_native_lib():
         lib.onedc_decoder_set_stream.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int]
         lib.onedc_decoder_decode.argtypes = [
             ctypes.c_void_p, i16p, ctypes.c_int, ctypes.c_int, i16p]
+        lib.onedc_decoder_decode_multi.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, i16p,
+            ctypes.c_int, ctypes.c_int, i16p]
         lib.onedc_decoder_clear_cdfs.argtypes = [ctypes.c_void_p]
         lib.onedc_pmf_to_quantized_cdf.argtypes = [
             f32p, ctypes.c_int, ctypes.c_int, u32p]
@@ -456,6 +459,30 @@ class NativeRansDecoder:
             self._h, _ptr(indexes, ctypes.c_int16), indexes.shape[0],
             cdf_group_index, _ptr(out, ctypes.c_int16))
         return out
+
+
+def decode_streams_multi(decoders, indexes, cdf_group_index: int):
+    """Decode the same-length index rows of several INDEPENDENT decoders
+    in ONE native call (one ctypes round trip per serving chunk instead
+    of one per stream; an ILP state-chain interleave was measured slower
+    — see decode_multi in onedc_rans.cpp). ``indexes``: (n_dec, n)
+    int16. Returns (n_dec, n) int16, identical to calling
+    ``decode_stream`` per decoder. Falls back to the per-decoder loop
+    when any decoder is the pure-Python one."""
+    indexes = np.ascontiguousarray(indexes, dtype=np.int16)
+    assert indexes.ndim == 2 and indexes.shape[0] == len(decoders)
+    lib = get_native_lib()
+    if lib is None or not all(isinstance(d, NativeRansDecoder)
+                              for d in decoders):
+        return np.stack([d.decode_stream(indexes[i], cdf_group_index)
+                         for i, d in enumerate(decoders)])
+    n_dec, n = indexes.shape
+    handles = (ctypes.c_void_p * n_dec)(*[d._h for d in decoders])
+    out = np.empty((n_dec, n), dtype=np.int16)
+    lib.onedc_decoder_decode_multi(
+        handles, n_dec, _ptr(indexes, ctypes.c_int16), n,
+        cdf_group_index, _ptr(out, ctypes.c_int16))
+    return out
 
 
 def RansEncoder(multi_thread: bool = False, stream_part: int = 1):

@@ -175,3 +175,45 @@ def test_empty_symbol_stream():
     dec.set_stream(stream)
     out = dec.decode_stream(np.full(5, -1, np.int16), 0)
     np.testing.assert_array_equal(out, np.zeros(5, np.int16))
+
+
+@pytest.mark.skipif(not HAS_NATIVE, reason="native lib unavailable")
+@pytest.mark.parametrize("stream_part", [1, 2])
+def test_decode_streams_multi_matches_serial(stream_part):
+    """The batched multi-stream decode (one native call for all
+    streams) must be byte-identical to per-decoder decode_stream —
+    incl. escapes, skips, and multi-part containers."""
+    from onedc_tpu.ops.rans import decode_streams_multi
+
+    table, sizes, offsets = make_gaussian_cdfs()
+    n_dec, n = 5, 977
+    streams, idxs, syms = [], [], []
+    for d in range(n_dec):
+        sym, idx = random_payload(sizes, offsets, n, seed=100 + d,
+                                  escape_frac=0.05, skip_frac=0.08)
+        enc = NativeRansEncoder(stream_part=stream_part)
+        g = enc.add_cdf(table, sizes, offsets)
+        enc.encode_with_indexes(sym, idx, g)
+        enc.flush()
+        streams.append(enc.get_encoded_stream())
+        idxs.append(idx)
+        # the decoded symbol for skipped entries is 0 by contract
+        sym = sym.copy()
+        sym[idx < 0] = 0
+        syms.append(sym)
+
+    decs = []
+    for s in streams:
+        dec = NativeRansDecoder(stream_part=stream_part)
+        g = dec.add_cdf(table, sizes, offsets)
+        dec.set_stream(s)
+        decs.append(dec)
+    batched = decode_streams_multi(decs, np.stack(idxs), g)
+    np.testing.assert_array_equal(batched, np.stack(syms))
+
+    # and identical to the serial per-decoder path on fresh decoders
+    for s, idx, sym in zip(streams, idxs, syms):
+        dec = NativeRansDecoder(stream_part=stream_part)
+        g = dec.add_cdf(table, sizes, offsets)
+        dec.set_stream(s)
+        np.testing.assert_array_equal(dec.decode_stream(idx, g), sym)
