@@ -22,6 +22,7 @@ TPU-first deviations from the reference, by design:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -356,18 +357,66 @@ class OneDCRuntime:
             batch = jax.device_put(batch, sharding)
         out = self._encode_dev(self.params, batch)
 
-        results = []
-        for i in range(n):
-            if self.model.z_only:
-                results.append(rt.encode_z_only(out["z_indices"][i:i + 1],
-                                                w, h))
-            else:
-                per = {
-                    "y_q_w": [a[i:i + 1] for a in out["y_q_w"]],
-                    "indexes_w": [a[i:i + 1] for a in out["indexes_w"]],
-                    "z_indices": out["z_indices"][i:i + 1],
-                }
-                results.append(rt.write_streams(per, w, h))
+        return self._write_chunk_streams(rt, out, list(range(n)),
+                                         [None] * n, w, h, [""] * n)
+
+    def _write_chunk_streams(self, rt, out, sel, results, w, h, caps):
+        """Host half of a batched encode: fetch each device array ONCE
+        (not one tunnel round trip per image slice), then write one
+        container per REAL image. ``sel``: result slots for rows 0..len-1
+        of ``out`` (padding rows are dropped)."""
+        if self.model.z_only:
+            z = np.asarray(out["z_indices"])
+            for j, i in enumerate(sel):
+                results[i] = rt.encode_z_only(z[j:j + 1], w, h)
+            return results
+        y_q_w = [np.asarray(a) for a in out["y_q_w"]]
+        idx_w = [np.asarray(a) for a in out["indexes_w"]]
+        z = np.asarray(out["z_indices"])
+        for j, i in enumerate(sel):
+            per = {
+                "y_q_w": [a[j:j + 1] for a in y_q_w],
+                "indexes_w": [a[j:j + 1] for a in idx_w],
+                "z_indices": z[j:j + 1],
+            }
+            results[i] = rt.write_streams(per, w, h, caption=caps[j])
+        return results
+
+    def encode_many(self, images, captions=None, chunk: Optional[int] = None):
+        """Serving twin of ``decode_batch`` for the encode side: a list of
+        (1,H,W,3) images is bucketed by size, encoded in device chunks
+        that are ALL dispatched before any host work (async device->host
+        fetches issued at dispatch time), then the host rANS-codes and
+        frames each container while the device is still encoding later
+        chunks. Unlike decode there is no serial ping-pong, so this is a
+        plain dispatch-ahead pipeline. Returns [(stream, bpp_dict), ...]
+        in input order."""
+        chunk = chunk or int(os.environ.get("ONEDC_PIPELINE_CHUNK", "8"))
+        rt = self._codec_rt
+        caps = list(captions) if captions is not None else [""] * len(images)
+        assert len(caps) == len(images)
+        buckets: Dict[Tuple[int, int], list] = {}
+        for i, im in enumerate(images):
+            _, h, w, _ = im.shape
+            buckets.setdefault((h, w), []).append(i)
+        results: list = [None] * len(images)
+        for (h, w), idxs in buckets.items():
+            pad = get_padding_size(h, w, self.ds)
+            fetched = []
+            for c0 in range(0, len(idxs), chunk):
+                sel = idxs[c0:c0 + chunk]
+                batch = jnp.concatenate(
+                    [jnp.asarray(images[i]) for i in sel], axis=0)
+                if self.dtype is not None:
+                    batch = batch.astype(self.dtype)
+                out = self._encode_dev(self.params,
+                                       self._pad_replicate(batch, pad))
+                for a in jax.tree_util.tree_leaves(out):
+                    a.copy_to_host_async()
+                fetched.append((sel, out))
+            for sel, out in fetched:
+                self._write_chunk_streams(rt, out, sel, results, w, h,
+                                          [caps[i] for i in sel])
         return results
 
     def decode_batch(self, streams, mesh=None):
@@ -449,7 +498,6 @@ class OneDCRuntime:
         match the serial path to float epsilon
         (tests/test_onedc.py::test_decode_batch_matches_sequential).
         """
-        import os
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 

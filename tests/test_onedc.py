@@ -113,6 +113,27 @@ def test_decode_batch_multi_chunk_schedule(onedc_setup, monkeypatch):
                                    atol=5e-4)
 
 
+def test_encode_many_matches_serial(onedc_setup, monkeypatch):
+    """encode_many (dispatch-ahead chunked device encode, single-fetch
+    host container writing) must produce byte-identical streams and bpp
+    dicts to per-image encode, across mixed sizes and captions."""
+    model, params, img = onedc_setup
+    monkeypatch.setenv("ONEDC_PIPELINE_CHUNK", "2")
+    rt = OneDCRuntime(model, params)
+    rt.update()
+    key = jax.random.PRNGKey(5)
+    imgs = [jnp.clip(img + 0.1 * jax.random.normal(
+        jax.random.fold_in(key, i), img.shape), -1, 1) for i in range(3)]
+    # a different raw size lands in its own bucket
+    imgs.append(imgs[0][:, :32, :, :])
+    caps = ["", "a cat", "", "wide shot"]
+    many = rt.encode_many(imgs, captions=caps)
+    for im, cap, (stream, bpp) in zip(imgs, caps, many):
+        ref_stream, ref_bpp = rt.encode(im, caption=cap)
+        assert bytes(stream) == bytes(ref_stream)
+        assert bpp == ref_bpp
+
+
 def test_tiny_vae_decode_path(tmp_path):
     """use_large_vae=False: encode rides the large VAE encoder, decode the
     taesd TinyVAE (ref model_..._stage1.py:39-54,184-195)."""
