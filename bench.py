@@ -109,6 +109,41 @@ def stage_tinyvae():
     return {"tinyvae_batch8_decodes_per_sec": bench_tinyvae()}
 
 
+def stage_lambda_tinyvae():
+    """Full lambda-family pipelined decode with the taesd TinyVAE decode
+    path (the reference's use_large_vae=False flag,
+    model_..._stage1.py:39-54): same bitstream, same host rANS + four
+    prior round trips, ~45 ms of large-VAE decode dropped."""
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from onedc_tpu.models.onedc import OneDC, OneDCRuntime
+
+    model = OneDC(compute_dtype=jnp.bfloat16, use_large_vae=False)
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(lambda x: model.init({"params": key}, x))(
+        jnp.zeros((1, 64, 64, 3), jnp.float32))
+    rt = OneDCRuntime(model, to_bf16(params))
+    rt.update(force=True)
+
+    n_streams = 48
+    imgs = [jax.random.uniform(jax.random.fold_in(jax.random.PRNGKey(7), i),
+                               (1, SIZE, SIZE, 3), minval=-1, maxval=1)
+            for i in range(n_streams)]
+    streams = [bytes(s) for s, _ in rt.encode_many(imgs)]
+
+    out = rt.decode_batch(streams[:16])  # warm/compile
+    jax.block_until_ready(out[0])
+    assert all(bool(jnp.all(jnp.isfinite(o))) for o in out), \
+        "tinyvae batched decode NaN"
+
+    t0 = time.perf_counter()
+    outs = rt.decode_batch(streams)
+    jax.block_until_ready(outs[0])
+    t_batch = (time.perf_counter() - t0) / n_streams
+    return {"lambda_tinyvae_batch_decodes_per_sec": round(1.0 / t_batch, 3)}
+
+
 def stage_ceiling():
     return bench_chip_ceiling()
 
@@ -118,6 +153,7 @@ STAGES = {
     "zonly": stage_zonly,
     "zonly_batch8": stage_zonly_batch8,
     "tinyvae": stage_tinyvae,
+    "lambda_tinyvae": stage_lambda_tinyvae,
     "ceiling": stage_ceiling,
 }
 

@@ -149,6 +149,18 @@ def test_tiny_vae_decode_path(tmp_path):
     pred = rt.decode(stream=stream)
     assert pred.shape == img.shape
     assert np.all(np.isfinite(np.asarray(pred)))
+    # the pipelined serving path (bench stage lambda_tinyvae) must route
+    # through the TinyVAE decoder too and match the single decode
+    streams = [rt.encode(jax.random.uniform(
+        jax.random.fold_in(key, i), (1, 64, 64, 3), minval=-1, maxval=1))[0]
+        for i in range(3)]
+    batch = rt.decode_batch(streams)
+    for s, b in zip(streams, batch):
+        one = rt.decode(stream=s)
+        # B=3 vs B=1 conv lowerings + the two-program pipelined split:
+        # float-epsilon accumulation-order differences only
+        np.testing.assert_allclose(np.asarray(b), np.asarray(one),
+                                   atol=2e-3)
 
 
 def test_decode_matches_eval_forward(onedc_setup):
