@@ -459,8 +459,8 @@ class OneDCRuntime:
         n = len(decs)
         zh, zw = ph // self.ds, pw // self.ds
 
-        if mesh is None and not self.model.z_only and n > 1:
-            return self._decode_bucket_pipelined(decs, zh, zw)
+        if not self.model.z_only and n > 1:
+            return self._decode_bucket_pipelined(decs, zh, zw, mesh=mesh)
 
         z_indices = np.stack([
             rt.fsq.unpack_indices(d["bit_stream_z"], zh * zw).reshape(zh, zw)
@@ -479,7 +479,7 @@ class OneDCRuntime:
         return self._decode_dev(self.params, y_hat, z_semantic)
 
     def _decode_bucket_pipelined(self, decs, zh: int, zw: int,
-                                 chunk: Optional[int] = None):
+                                 chunk: Optional[int] = None, mesh=None):
         """Software-pipelined decode over a stream of images.
 
         The four-part prior's host rANS<->device ping-pong cannot overlap
@@ -519,6 +519,14 @@ class OneDCRuntime:
         # depth=1 6.8-7.9/s, depth=2 9.9-10.7/s, depth=3 10.9-11.0/s.
         depth = max(1, int(os.environ.get("ONEDC_PIPELINE_DEPTH", "3")))
         chunks = [decs[i:i + chunk] for i in range(0, len(decs), chunk)]
+        # optional scale-out: each chunk's device batch sharded over the
+        # mesh data axis (images ride separate chips; the host pipeline
+        # schedule is unchanged). Chunks are padded to a shardable batch;
+        # padding rows decode zero symbols and are trimmed at the end.
+        sharding, mult = self._batch_sharding(mesh)
+
+        def put(a):
+            return jax.device_put(a, sharding) if sharding is not None else a
 
         pending: deque = deque()
         x0s: Dict[int, Any] = {}
@@ -549,13 +557,14 @@ class OneDCRuntime:
 
             def __init__(sm, ci, cd, workers):
                 sm.ci, sm.workers, sm.n = ci, workers, len(cd)
-                z_indices = np.stack([
+                z_indices = OneDCRuntime._pad_batch(np.stack([
                     rt.fsq.unpack_indices(d["bit_stream_z"],
                                           zh * zw).reshape(zh, zw)
-                    for d in cd])
+                    for d in cd]), mult)
+                sm.n_rows = z_indices.shape[0]
                 sm.coders = rt.make_stream_coders(
                     [d["bit_stream_y"] for d in cd])
-                st = rt._begin(rt.params, jnp.asarray(z_indices))
+                st = rt._begin(rt.params, put(jnp.asarray(z_indices)))
                 sm.y_hat, sm.means = st["y_hat"], st["means"]
                 sm.common, sm.z_semantic = st["common"], st["z_semantic"]
                 sm.step = 0
@@ -566,9 +575,16 @@ class OneDCRuntime:
 
                 def work():
                     idx = np.asarray(idx_dev)
-                    # one native call decodes the whole chunk's streams
-                    return type(sm.coders[0]).decode_streams_with_indexes(
-                        sm.coders, idx.reshape(sm.n, -1)).reshape(idx.shape)
+                    # one native call decodes the whole chunk's streams;
+                    # mesh-padding rows (no coder) get zero symbols
+                    parts = type(sm.coders[0]).decode_streams_with_indexes(
+                        sm.coders,
+                        idx[:sm.n].reshape(sm.n, -1)).reshape(idx[:sm.n].shape)
+                    if sm.n_rows > sm.n:
+                        parts = np.concatenate(
+                            [parts, np.zeros_like(idx[sm.n:],
+                                                  dtype=parts.dtype)])
+                    return parts
 
                 sm.fut = sm.workers.submit(work)
 
@@ -578,7 +594,7 @@ class OneDCRuntime:
             def advance(sm):
                 """Run one prior step; True while more steps remain."""
                 parts = sm.fut.result()
-                nxt = rt._update[sm.step](rt.params, jnp.asarray(parts),
+                nxt = rt._update[sm.step](rt.params, put(jnp.asarray(parts)),
                                           sm.means, sm.y_hat, sm.common)
                 sm.y_hat, sm.means = nxt["y_hat"], nxt["means"]
                 sm.step += 1
@@ -615,5 +631,6 @@ class OneDCRuntime:
                     live.append(sm)
             while pending:
                 pending.popleft()()
-        return jnp.concatenate([outs[ci] for ci in range(len(chunks))],
-                               axis=0)
+        # trim each chunk's mesh-padding rows before stitching
+        return jnp.concatenate([outs[ci][:len(chunks[ci])]
+                                for ci in range(len(chunks))], axis=0)

@@ -127,6 +127,26 @@ def test_decode_batch_mesh_padding_rows(tiled_setup):
                                    atol=5e-4)
 
 
+def test_decode_batch_mesh_pipelined_chunks(tiled_setup, monkeypatch):
+    """Scale-out serving: the software-PIPELINED decode path sharded over
+    the mesh data axis, multiple chunks in flight (chunk=2 on a 2-device
+    mesh, 5 streams -> chunks of 2/2/1 with the last padded to a
+    shardable batch). Outputs must match the serial path."""
+    from onedc_tpu.parallel.mesh import make_mesh
+
+    _, rt, img = tiled_setup
+    monkeypatch.setenv("ONEDC_PIPELINE_CHUNK", "2")
+    mesh = make_mesh(jax.devices("cpu")[:2])
+    imgs = [img[:, 64 * (i % 2):64 * (i % 2) + 64, :64] for i in range(5)]
+    streams = [rt.encode(im)[0] for im in imgs]
+    outs = rt.decode_batch(streams, mesh=mesh)
+    assert len(outs) == 5
+    for s, o in zip(streams, outs):
+        np.testing.assert_allclose(np.asarray(o),
+                                   np.asarray(rt.decode(stream=s)),
+                                   atol=5e-4)
+
+
 def test_tiled_overlap_blend(tiled_setup):
     _, rt, img = tiled_setup
     tc = TiledCodec(rt, tile=64, overlap=32)
