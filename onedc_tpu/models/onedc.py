@@ -469,10 +469,17 @@ class OneDCRuntime:
         z_indices = self._pad_batch(z_indices, mult)
 
         if self.model.z_only:
-            zi = jnp.asarray(z_indices)
-            if sharding is not None:
-                zi = jax.device_put(zi, sharding)
-            return self._decode_z_only(self.params, zi)
+            # chunked dispatch-ahead: a whole serving bucket in ONE
+            # program would blow HBM at 768px (flat B=16 OOMs on VAE
+            # activations — ROADMAP); per-device rows stay <= chunk
+            chunk = int(os.environ.get("ONEDC_PIPELINE_CHUNK", "8")) * mult
+            outs = []
+            for c0 in range(0, z_indices.shape[0], chunk):
+                zi = jnp.asarray(z_indices[c0:c0 + chunk])
+                if sharding is not None and zi.shape[0] % mult == 0:
+                    zi = jax.device_put(zi, sharding)
+                outs.append(self._decode_z_only(self.params, zi))
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
         coders = rt.make_stream_coders([d["bit_stream_y"] for d in decs])
         y_hat, z_semantic = rt.run_four_part_decode(
             z_indices, coders, sharding=sharding)

@@ -174,3 +174,27 @@ def test_decode_matches_eval_forward(onedc_setup):
     _, pred_fwd = jax.jit(lambda p, x: model.apply(p, x))(params, img)
     np.testing.assert_allclose(np.asarray(pred_stream), np.asarray(pred_fwd),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_z_only_decode_batch_chunked(monkeypatch):
+    """z-only serving decode is CHUNKED (a whole bucket in one program
+    would blow HBM at full size — flat B=16 OOMs on VAE activations):
+    chunk=1 must be bit-identical to per-stream decode, chunk=2 within
+    batch-lowering float epsilon."""
+    model = OneDC(z_only=True, **TINY)
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (1, 64, 64, 3), minval=-1, maxval=1)
+    params = jax.jit(lambda x: model.init({"params": key}, x))(img)
+    rt = OneDCRuntime(model, params)
+    rt.update(force=True)
+    imgs = [jax.random.uniform(jax.random.fold_in(key, i), (1, 64, 64, 3),
+                               minval=-1, maxval=1) for i in range(3)]
+    streams = [rt.encode(im)[0] for im in imgs]
+    singles = [rt.decode(stream=s) for s in streams]
+
+    monkeypatch.setenv("ONEDC_PIPELINE_CHUNK", "1")
+    for b, one in zip(rt.decode_batch(streams), singles):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(one))
+    monkeypatch.setenv("ONEDC_PIPELINE_CHUNK", "2")
+    for b, one in zip(rt.decode_batch(streams), singles):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(one), atol=2e-3)
