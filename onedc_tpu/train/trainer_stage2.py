@@ -236,6 +236,10 @@ class Stage2Trainer:
         self.batch_size = int(cfg.get("batch_size", 4))
         ds = ImageFolderDataset(cfg.train_data)
         self.train_iter = cycle(DataLoader(ds, self.batch_size, shuffle=True))
+        self.eval_loader = (DataLoader(
+            ImageFolderDataset(cfg.eval_data), 1)
+            if cfg.get("eval_data") else None)
+        self.rd_loss = rd
         run_dir = cfg.get("run_dir", "runs/stage2")
         self.ckpt = CheckpointManager(run_dir,
                                       int(cfg.get("max_checkpoint", 3)))
@@ -264,6 +268,43 @@ class Stage2Trainer:
         s = batch_sharding(self.mesh)
         out = tuple(jax.device_put(a, s) for a in arrays)
         return out if len(out) > 1 else out[0]
+
+    def eval_one_epoch(self, step: int, max_images: int = 16):
+        """Pixel-loss eval of the generator turn on the eval set (ref
+        train_sd15_codec_stage2.py:242-304: generator forward without
+        gradients, pix_loss_func on the recon, AvgDict over the loader,
+        first pair logged as images). The reference also records the DM
+        loss dict during eval; the checkpoint monitor key is the pixel
+        loss, which is what we compute — the DM terms need a guidance
+        forward and are omitted here (documented deviation)."""
+        if self.eval_loader is None:
+            return {}
+        from ..utils.logging import AvgDict
+        avg = AvgDict()
+        if not hasattr(self, "_eval_fwd"):
+            def eval_fwd(p, x):
+                enc_dict, pred = self.onedc.apply(p, x)
+                _, ld = self.rd_loss(x, pred, enc_dict["bpp"],
+                                     training=False)
+                return ld, pred
+            self._eval_fwd = jax.jit(eval_fwd)
+        for i, batch in enumerate(self.eval_loader):
+            if i >= max_images:
+                break
+            img = jnp.asarray(batch["image"])
+            h, w = img.shape[1] // 64 * 64, img.shape[2] // 64 * 64
+            ld, pred = self._eval_fwd(self.gen_state.params, img[:, :h, :w])
+            avg.update({k: float(v) for k, v in ld.items()})
+            if i == 0:
+                self.writer.log_image("eval/recon", np.asarray(pred[0]),
+                                      step)
+                self.writer.log_image("eval/gt", np.asarray(img[0, :h, :w]),
+                                      step)
+        m = avg.mean()
+        self.writer.log_dict(m, step, prefix="eval2")
+        self.log.info("eval step %d: %s",
+                      step, {k: round(v, 5) for k, v in m.items()})
+        return m
 
     def train(self):
         uncond1 = self.text.uncond_embedding(1)
@@ -307,9 +348,14 @@ class Stage2Trainer:
                     self.log.info("step %d: %s", step + 1,
                                   {k: round(v, 5) for k, v in m.items()})
                 if (step + 1) % self.save_interval == 0:
+                    # best tracked by the eval monitor key (ref
+                    # monitor_key_lower, train_..._stage2.py:451-456)
+                    ev = self.eval_one_epoch(step + 1)
+                    metric = ev.get(self.cfg.get("monitor_key",
+                                                 "total_loss"))
                     self.ckpt.save(jax.device_get(
                         {"gen": self.gen_state, "guid": self.guid_state}),
-                        step + 1)
+                        step + 1, metric)
 
 
 def main(argv=None):

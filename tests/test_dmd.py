@@ -188,3 +188,55 @@ def test_stage2_round_batch():
     # exact multiple is untouched
     out, oc = Stage2Trainer.round_batch(imgs[:8], caps[:8], 4)
     assert out.shape[0] == 8 and oc == caps[:8]
+
+
+def test_stage2_eval_one_epoch(tmp_path):
+    """Stage-2 eval (ref train_sd15_codec_stage2.py:242-304): pixel-loss
+    eval of the generator forward, AvgDict means, used as the best-ckpt
+    monitor. Unit-tested on a hand-assembled trainer (full construction
+    needs a text encoder)."""
+    import jax
+    import numpy as np
+    from types import SimpleNamespace
+
+    from onedc_tpu.config import Config
+    from onedc_tpu.data.datasets import (DataLoader, ImageFolderDataset,
+                                         save_image)
+    from onedc_tpu.models.onedc import OneDC
+    from onedc_tpu.train.losses import RDLoss
+    from onedc_tpu.train.trainer_stage2 import Stage2Trainer
+    from onedc_tpu.utils.logging import get_logger, make_writer
+
+    data_dir = tmp_path / "imgs"
+    data_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        save_image(rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32),
+                   data_dir / f"im{i}.png")
+
+    tiny = dict(internal_ch=64, bottleneck_ch=32, unet_ch_config=(32, 64, 64),
+                ctrl_ch=32, sd_block_channels=(32, 32, 64, 64),
+                context_dim=64, vae_block_channels=(32, 32, 64, 64),
+                vae_attn_patch=4)
+    model = OneDC(**tiny)
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(lambda x: model.init({"params": key}, x))(
+        jnp.zeros((1, 64, 64, 3), jnp.float32))
+
+    tr = Stage2Trainer.__new__(Stage2Trainer)
+    tr.onedc = model
+    tr.gen_state = SimpleNamespace(params=params)
+    tr.rd_loss = RDLoss(lmbda=0.0)
+    tr.eval_loader = DataLoader(ImageFolderDataset(str(data_dir)), 1,
+                                drop_last=False)
+    tr.writer = make_writer(tmp_path / "tb")
+    tr.log = get_logger("test.stage2eval")
+    tr.cfg = Config.wrap({})
+    m = tr.eval_one_epoch(step=1)
+    for key in ("total_loss", "pix", "lpips"):
+        assert key in m, key
+    assert np.isfinite(m["total_loss"])
+
+    # no eval set -> no-op
+    tr.eval_loader = None
+    assert tr.eval_one_epoch(step=1) == {}
