@@ -41,19 +41,49 @@ def build_model(cfg: Config):
 def load_params(model: OneDC, cfg: Config):
     """Init abstract params, then fill from checkpoint(s) if provided.
 
-    ``ckpt`` may point at a safetensors file with the full param tree, or
-    be absent (random init — smoke/benchmark mode only).
+    Two checkpoint flavors, mirroring both user journeys:
+
+    - ``ckpt``: a safetensors file holding OUR full param tree (from
+      ``convert_weights onedc`` or a training run).
+    - ``checkpoint_path``: a directory in the reference's RELEASED layout
+      — ``model.safetensors`` (SD1.5 UNet + LoRA + conv_in +
+      vae_reduction) + ``model_1.safetensors`` (IntraNoAR codec) —
+      ported on the fly, exactly how the reference CLI consumes it
+      (ref src/inference.py:87-93). The release does not carry VAE
+      weights (the reference pulls them from the HF ``model_id``), so
+      point ``vae_ckpt`` at a converted VAE safetensors
+      (``convert_weights``-compatible torch layout) alongside.
+
+    Neither given -> random init (smoke/benchmark mode only).
     """
     key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     img = jnp.zeros((1, 64, 64, 3), jnp.float32)
     params = jax.jit(lambda x: model.init({"params": key}, x))(img)
     ckpt = cfg.get("ckpt")
+    ref_dir = cfg.get("checkpoint_path")
     if ckpt:
         log.info("loading params from %s", ckpt)
         loaded = load_safetensors(ckpt)
         params = jax.tree_util.tree_map(
             lambda ref, new: jnp.asarray(new).astype(ref.dtype),
             params, loaded)
+    elif ref_dir:
+        import os
+
+        from ..utils.port_torch import port_onedc_checkpoint
+
+        log.info("porting reference checkpoint dir %s", ref_dir)
+        vae_ckpt = cfg.get("vae_ckpt")
+        params = port_onedc_checkpoint(
+            unet_path=os.path.join(ref_dir, "model.safetensors"),
+            codec_path=os.path.join(ref_dir, "model_1.safetensors"),
+            vae_path=vae_ckpt,
+            reference_params=params,
+            require_complete=("unet", "codec"))
+        if not vae_ckpt:
+            log.warning("checkpoint_path has no VAE weights (the reference "
+                        "downloads them from model_id); pass vae_ckpt= for "
+                        "a fully-ported model — VAE is RANDOM INIT now")
     else:
         log.warning("no ckpt given: RANDOM INIT (smoke mode)")
     return params

@@ -1,0 +1,77 @@
+"""Full-size stage-1 training step throughput on one chip.
+
+BASELINE.md's stage-I row: the reference trains on 4xA100 DDP at batch
+8/GPU @ 512px (src/ddp_configs/ddp_4A100.yaml + stage1 yaml:48-67).
+This measures the per-chip half of that comparison: the full flagship
+OneDC (1.33B params, frozen VAE) stage-1 step — forward + RD loss +
+backward + Adafactor update, remat on — across a batch sweep at 512px,
+reporting s/step and images/s/chip.
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python tests/golden/run_stage1_full_tpu.py [--res 512 --batches 1,2,4,8]
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from onedc_tpu.models.onedc import OneDC
+from onedc_tpu.train.losses import RDLoss
+from onedc_tpu.train.step import create_train_state, make_train_step
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--batches", type=str, default="1,2,4,8")
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    model = OneDC()  # flagship; training runs f32 params like the reference
+    key = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    params = jax.jit(lambda x: model.init({"params": key}, x))(
+        jnp.zeros((1, 64, 64, 3), jnp.float32))
+    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"init {time.perf_counter() - t0:.1f}s, params {n/1e9:.2f}B")
+
+    state = create_train_state(model, params, optimizer="adafactor")
+    del params
+    # lmbda fixed (no ramp) so every step is the same program; LPIPS off
+    # (weights not on disk in this image) — the conv stack dominates.
+    step_fn = jax.jit(
+        make_train_step(model, RDLoss(lmbda=4.6), remat=True),
+        donate_argnums=(0,))
+
+    r = args.res
+    for b in [int(x) for x in args.batches.split(",")]:
+        img = jax.random.uniform(jax.random.PRNGKey(2), (b, r, r, 3),
+                                 minval=-1, maxval=1)
+        try:
+            t0 = time.perf_counter()
+            state, met = step_fn(state, {"image": img},
+                                 jax.random.PRNGKey(3))
+            jax.block_until_ready(met["total_loss"])
+            print(f"B={b}: compile+1 {time.perf_counter() - t0:.1f}s "
+                  f"(loss={float(met['total_loss']):.4f})")
+            t0 = time.perf_counter()
+            for i in range(args.reps):
+                state, met = step_fn(state, {"image": img},
+                                     jax.random.fold_in(key, i))
+            jax.block_until_ready(met["total_loss"])
+            dt = (time.perf_counter() - t0) / args.reps
+            assert np.isfinite(float(met["total_loss"]))
+            print(f"B={b}: {dt:.3f} s/step -> {b/dt:.2f} imgs/s/chip "
+                  f"({r}px, Adafactor+remat)")
+        except Exception as e:  # OOM at some B is itself the datum
+            print(f"B={b}: failed ({type(e).__name__}: {str(e)[:120]})")
+            break
+
+
+if __name__ == "__main__":
+    main()

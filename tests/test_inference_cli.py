@@ -72,3 +72,50 @@ def test_inference_cli_with_captions(tmp_path):
         __import__("PIL.Image", fromlist=["Image"]).open(
             out_dir / "recon" / "kodim01.png"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_load_params_from_reference_checkpoint_dir(tmp_path):
+    """``checkpoint_path=DIR`` consumes the reference's RELEASED layout
+    (model.safetensors + model_1.safetensors) directly, like the
+    reference CLI (ref src/inference.py:87-93) — no separate
+    convert_weights step. Tiny config + tiny full-layout twins keep this
+    in the fast loop; the flagship-size twin port is
+    tests/test_twin_checkpoints.py."""
+    import sys
+    from pathlib import Path
+
+    from safetensors.numpy import save_file
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from twins import codec_twin, sd_unet_twin
+
+    from onedc_tpu.eval.inference import build_model, load_params
+
+    ckpt_dir = tmp_path / "onedc_lmbda4.6"
+    ckpt_dir.mkdir()
+    save_file(
+        sd_unet_twin(in_ch=TINY_MODEL["ctrl_ch"],
+                     block_channels=TINY_MODEL["sd_block_channels"],
+                     context_dim=TINY_MODEL["context_dim"]),
+        str(ckpt_dir / "model.safetensors"))
+    save_file(
+        codec_twin(ctrl_ch=TINY_MODEL["ctrl_ch"],
+                   internal_ch=TINY_MODEL["internal_ch"],
+                   bottleneck_ch=TINY_MODEL["bottleneck_ch"],
+                   unet_ch_config=TINY_MODEL["unet_ch_config"]),
+        str(ckpt_dir / "model_1.safetensors"))
+
+    cfg = Config.wrap(dict(model=TINY_MODEL,
+                           checkpoint_path=str(ckpt_dir)))
+    model = build_model(cfg)
+    params = load_params(model, cfg)
+
+    # a twin tensor landed (not random init): conv_in kernel OIHW->HWIO
+    twin = sd_unet_twin(in_ch=TINY_MODEL["ctrl_ch"],
+                        block_channels=TINY_MODEL["sd_block_channels"],
+                        context_dim=TINY_MODEL["context_dim"])
+    got = np.asarray(params["params"]["unet"]["conv_in"]["kernel"])
+    np.testing.assert_array_equal(
+        got, twin["conv_in.weight"].transpose(2, 3, 1, 0))
+    assert params["params"]["codec"]  # codec subtree present
+    assert got.dtype == np.float32
