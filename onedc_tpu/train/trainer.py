@@ -40,6 +40,56 @@ from .step import create_train_state, make_train_step
 log = get_logger("onedc_tpu.train")
 
 
+def save_config_snapshot(cfg: Config, run_dir) -> None:
+    """Persist the resolved config into the run dir so every run is
+    reproducible from its own artifacts (ref train_sd15_codec_stage1.py:75
+    ``OmegaConf.save(args, output_path/config.yaml)``)."""
+    import yaml
+
+    def clean(o):
+        if isinstance(o, dict):
+            return {k: clean(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return [clean(v) for v in o]
+        if isinstance(o, (str, int, float, bool, type(None))):
+            return o
+        # in-memory objects (e.g. state-dict warm-starts): type tag only
+        return f"<{type(o).__name__}>"
+
+    run_dir = Path(run_dir)
+    run_dir.mkdir(parents=True, exist_ok=True)
+    with open(run_dir / "config.yaml", "w") as f:
+        yaml.safe_dump(clean(cfg.to_dict()), f, default_flow_style=False)
+
+
+def load_part_ckpts(params, cfg: Config, logger):
+    """Partial warm-start from reference-layout checkpoints before
+    training (ref model_sd15_with_codec_stage1.py:125-148 load_part_ckpt):
+
+    - ``codec_ckpt``: IntraNoAR state dict, full coverage required
+      (reference loads strict=True)
+    - ``unet_ckpt_lora``: SD1.5 UNet + LoRA state dict, partial allowed
+      (reference loads strict=False); LoRA is merged at load
+    - ``codeformer_ckpt``: Codeformer state dict, full coverage required
+
+    Each path is a torch-layout safetensors file. Returns params with the
+    matching subtrees overlaid; untouched subtrees keep their init values.
+    """
+    part = dict(unet_path=cfg.get("unet_ckpt_lora"),
+                codec_path=cfg.get("codec_ckpt"),
+                codeformer_path=cfg.get("codeformer_ckpt"))
+    if not any(part.values()):
+        return params
+    from ..utils.port_torch import port_onedc_checkpoint
+    req = tuple(sub for sub, p in (("codec", part["codec_path"]),
+                                   ("codeformer", part["codeformer_path"]))
+                if p)
+    logger.info("warm-start from reference checkpoints: %s",
+                {k: v for k, v in part.items() if v})
+    return port_onedc_checkpoint(reference_params=params,
+                                 require_complete=req, **part)
+
+
 class Trainer:
     def __init__(self, cfg: Config):
         self.cfg = cfg
@@ -50,12 +100,14 @@ class Trainer:
         res = int(cfg.get("base_resolution", 512))
         img0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
         params = jax.jit(lambda x: self.model.init({"params": key}, x))(img0)
+        params = load_part_ckpts(params, cfg, log)
 
         # the VQGAN tokenizer is a frozen distillation target
         # (ref model_..._stage1.py:198-202); the codeformer itself trains
         default_frozen = ("vae", "vqgan") if self.model.use_codeformer \
             else ("vae",)
         frozen = tuple(cfg.get("frozen", default_frozen))
+        self.frozen = frozen
         self.state = create_train_state(
             self.model, params,
             lr=float(cfg.get("lr", 5e-5)),
@@ -118,6 +170,7 @@ class Trainer:
         run_dir = Path(cfg.get("run_dir", "runs/stage1"))
         self.ckpt = CheckpointManager(run_dir,
                                       int(cfg.get("max_checkpoint", 3)))
+        save_config_snapshot(cfg, run_dir)
         self.writer = make_writer(run_dir / "tb",
                                   wandb_project=cfg.get("wandb_project"),
                                   run_name=cfg.get("wandb_run_name"))
@@ -234,6 +287,27 @@ class Trainer:
     def resume(self, step: Optional[int] = None):
         self.state, restored = self.ckpt.restore(jax.device_get(self.state),
                                                  step)
+        # escape hatches (ref train_sd15_codec_stage1.py:125-132):
+        # override_lr rebuilds a FRESH optimizer at the new lr (moments
+        # reset, like the reference's prepare_optimizer); override_step
+        # rewrites the schedule/loop position.
+        if self.cfg.get("override_lr") is not None:
+            new_lr = float(self.cfg.override_lr)
+            cur_step = int(self.state.step)
+            fresh = create_train_state(
+                self.model, self.state.params,
+                lr=new_lr,
+                warmup_steps=int(self.cfg.get("warmup_steps", 500)),
+                grad_clip=float(self.cfg.get("grad_clip", 5.0)),
+                frozen=self.frozen,
+                optimizer=self.cfg.get("optimizer", "adamw"))
+            self.state = fresh.replace(step=cur_step)
+            log.info("override_lr: fresh optimizer at lr=%g", new_lr)
+        if self.cfg.get("override_step") is not None:
+            self.state = self.state.replace(
+                step=int(self.cfg.override_step))
+            log.info("override_step: step rewritten to %d",
+                     int(self.state.step))
         if self.cfg.get("fsdp", False):
             from ..parallel.fsdp import shard_state
             self.state = shard_state(self.mesh, self.state)

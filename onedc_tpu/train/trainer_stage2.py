@@ -182,6 +182,16 @@ class Stage2Trainer:
             onedc_params = jax.tree_util.tree_map(
                 lambda ref, new: jnp.asarray(new).astype(ref.dtype),
                 onedc_params, loaded)
+        # partial warm-start from reference-layout checkpoints
+        # (ref model_sd15_with_codec_stage2.py:74-83 load_part_ckpt:
+        # inherits codec/unet/codeformer hooks, adds guidance_ckpt)
+        from .trainer import load_part_ckpts
+        onedc_params = load_part_ckpts(onedc_params, cfg, self.log)
+        if cfg.get("guidance_ckpt"):
+            from ..utils.port_torch import port_guidance_checkpoint
+            self.log.info("warm-start guidance from %s", cfg.guidance_ckpt)
+            guid_params = port_guidance_checkpoint(cfg.guidance_ckpt,
+                                                   guid_params)
 
         self.gen_state, self.guid_state = create_stage2_states(
             self.onedc, onedc_params, self.guidance, guid_params,

@@ -20,6 +20,12 @@ must arrive on disk). This CLI wraps the converters:
   python -m onedc_tpu.utils.convert_weights onedc \
       --unet model.safetensors --codec model_1.safetensors \
       --out onedc.safetensors [model.key=value ...]
+
+  # reference SDGuidance checkpoint (stage-2 model_2.safetensors /
+  # guidance_ckpt) -> our SDGuidance param tree
+  python -m onedc_tpu.utils.convert_weights guidance \
+      --src model_2.safetensors --out guidance.safetensors \
+      [guidance.key=value ...]
 """
 
 from __future__ import annotations
@@ -92,6 +98,27 @@ def convert_onedc(unet, codec, vae, codeformer, out, overrides):
     save_safetensors(params, out)
 
 
+def convert_guidance(src, out, overrides):
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import parse_cli_overrides
+    from ..models.dmd import SDGuidance
+    from .checkpoint import save_safetensors
+    from .port_torch import port_guidance_checkpoint
+
+    cfg = parse_cli_overrides(overrides)
+    guidance = SDGuidance(**dict(cfg.get("guidance", {})))
+    key = jax.random.PRNGKey(0)
+    lat = jnp.zeros((1, 8, 8, 4), jnp.float32)
+    ctx = jnp.zeros((1, 77, guidance.context_dim), jnp.float32)
+    ref_params = jax.jit(lambda: guidance.init(
+        {"params": key}, lat, ctx, ctx, jax.random.PRNGKey(1),
+        method=guidance.generator_forward))()
+    params = port_guidance_checkpoint(src, ref_params)
+    save_safetensors(params, out)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -117,8 +144,12 @@ def main(argv=None):
     s.add_argument("--codeformer", default=None)
     s.add_argument("--out", required=True)
 
+    s = sub.add_parser("guidance")
+    s.add_argument("--src", required=True)
+    s.add_argument("--out", required=True)
+
     args, extra = p.parse_known_args(argv)
-    if args.cmd != "onedc" and extra:
+    if args.cmd not in ("onedc", "guidance") and extra:
         p.error(f"unrecognized arguments: {extra}")
     if args.cmd == "inception":
         convert_inception(args.src, args.out)
@@ -129,6 +160,8 @@ def main(argv=None):
     elif args.cmd == "onedc":
         convert_onedc(args.unet, args.codec, args.vae, args.codeformer,
                       args.out, extra)
+    elif args.cmd == "guidance":
+        convert_guidance(args.src, args.out, extra)
     print(f"wrote {args.out}")
 
 

@@ -256,6 +256,16 @@ _CODEFORMER_RULES: List[Rule] = [
 
 _SWIN_SKIP = (r"upper_lower_mask", r"left_right_mask", r"relative_indices")
 
+# SDGuidance GAN head (ref sd_guidance.py:136-151, SD1.5 branch):
+# nn.Sequential indices -> our ClsHead names (models/dmd.py:41-65).
+_CLS_HEAD_RULES: List[Rule] = [
+    (r"^cls_pred_branch\.0\.", r"cls_pred_branch/conv0."),
+    (r"^cls_pred_branch\.1\.", r"cls_pred_branch/norm0."),
+    (r"^cls_pred_branch\.3\.", r"cls_pred_branch/conv1."),
+    (r"^cls_pred_branch\.4\.", r"cls_pred_branch/norm1."),
+    (r"^cls_pred_branch\.6\.", r"cls_pred_branch/conv_out."),
+]
+
 _VQGAN_RULES: List[Rule] = [
     (r"^quantize\.embedding\.weight$", r"quantize/embedding"),
     (r"^(encoder|decoder)\.conv_in\.", r"\1/conv_in."),
@@ -363,6 +373,93 @@ def port_codeformer_state(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]
                            raw_keys=(r"\.pos_embedding$",))
 
 
+def port_guidance_state(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """SDGuidance state dict (``guidance_ckpt`` warm-starts /
+    ``model_2.safetensors`` of a stage-2 run, ref sd_guidance.py:56-146)
+    -> flat guidance tree: ``real_unet``/``fake_unet`` are plain SD1.5
+    UNets (standard diffusers naming), ``cls_pred_branch`` maps its
+    nn.Sequential indices onto our ClsHead names. ``real_unet`` may be
+    absent (the reference deletes it under ``gan_alone``)."""
+    subs: Dict[str, Dict[str, np.ndarray]] = {"real_unet": {},
+                                              "fake_unet": {}}
+    rest: Dict[str, np.ndarray] = {}
+    for k, v in state.items():
+        head = k.split(".", 1)[0]
+        if head in subs:
+            subs[head][k.split(".", 1)[1]] = v
+        elif head == "cls_pred_branch":
+            rest[k] = v
+        else:
+            raise KeyError(f"unknown guidance submodule in checkpoint: {k}")
+    flat: Dict[str, np.ndarray] = {}
+    for prefix, sd in subs.items():
+        for kk, vv in port_state_dict(sd, _SD_UNET_RULES).items():
+            flat[f"{prefix}/{kk}"] = vv
+    flat.update(port_state_dict(rest, _CLS_HEAD_RULES))
+    return flat
+
+
+# ---------------------------------------------------------------------------
+# tree assembly
+# ---------------------------------------------------------------------------
+
+def _load_state(src) -> Dict[str, np.ndarray]:
+    if isinstance(src, dict):
+        return src
+    from safetensors.numpy import load_file
+    return load_file(src)
+
+
+def _flatten_leaves(tree, prefix: str = "") -> Dict:
+    """Leaf-preserving flatten (unlike checkpoint.flatten_params): the
+    reference tree may be jax.ShapeDtypeStructs from eval_shape."""
+    out: Dict = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            key = f"{prefix}/{k}" if prefix else str(k)
+            out.update(_flatten_leaves(v, key))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def _assemble(reference_params, fills: Dict[str, Dict[str, np.ndarray]],
+              require_complete: Tuple[str, ...] = ()):
+    """Overlay ported flat subtrees onto an initialized param tree.
+
+    ``fills``: {submodule name ("" = tree root): flat {path: array}}.
+    Every ported tensor must have a same-shaped home in the model tree;
+    ``require_complete`` submodules must be FULLY covered — any leaf left
+    at its initialized value raises.
+    """
+    from .checkpoint import unflatten_params
+
+    flat_ref = _flatten_leaves(reference_params)
+    out = dict(flat_ref)
+    filled: set = set()
+    for sub, flat_src in fills.items():
+        base = f"params/{sub}" if sub else "params"
+        for k, v in flat_src.items():
+            full = f"{base}/{k}"
+            if full not in flat_ref:
+                raise KeyError(f"ported tensor has no home: {full}")
+            if flat_ref[full].shape != v.shape:
+                raise ValueError(
+                    f"shape mismatch at {full}: ckpt {v.shape} vs "
+                    f"model {flat_ref[full].shape}")
+            out[full] = v.astype(flat_ref[full].dtype)
+            filled.add(full)
+
+    for sub in require_complete:
+        missing = [k for k in flat_ref
+                   if k.startswith(f"params/{sub}/") and k not in filled]
+        if missing:
+            raise KeyError(
+                f"checkpoint does not cover {len(missing)} model tensors "
+                f"under params/{sub}: {sorted(missing)[:8]} ...")
+    return unflatten_params(out)
+
+
 def port_onedc_checkpoint(unet_path: Optional[str] = None,
                           codec_path: Optional[str] = None,
                           vae_path: Optional[str] = None,
@@ -378,57 +475,30 @@ def port_onedc_checkpoint(unet_path: Optional[str] = None,
     ("unet", "codec", ...) whose model subtree must be FULLY covered by
     the checkpoint — any leaf left at its initialized value raises.
     """
-    from .checkpoint import unflatten_params
-
-    def load(src) -> Dict[str, np.ndarray]:
-        if isinstance(src, dict):
-            return src
-        from safetensors.numpy import load_file
-        return load_file(src)
-
-    def flatten(tree, prefix: str = "") -> Dict:
-        # leaf-preserving (unlike checkpoint.flatten_params): the
-        # reference tree may be jax.ShapeDtypeStructs from eval_shape
-        out: Dict = {}
-        if isinstance(tree, dict):
-            for k, v in tree.items():
-                key = f"{prefix}/{k}" if prefix else str(k)
-                out.update(flatten(v, key))
-        else:
-            out[prefix] = tree
-        return out
-
     assert reference_params is not None
-    flat_ref = flatten(reference_params)
-    out = dict(flat_ref)
-    filled: set = set()
-
-    def fill(sub: str, flat_src: Dict[str, np.ndarray]):
-        for k, v in flat_src.items():
-            full = f"params/{sub}/{k}"
-            if full not in flat_ref:
-                raise KeyError(f"ported tensor has no home: {full}")
-            if flat_ref[full].shape != v.shape:
-                raise ValueError(
-                    f"shape mismatch at {full}: ckpt {v.shape} vs "
-                    f"model {flat_ref[full].shape}")
-            out[full] = v.astype(flat_ref[full].dtype)
-            filled.add(full)
-
+    fills: Dict[str, Dict[str, np.ndarray]] = {}
     if unet_path is not None:
-        fill("unet", port_sd_unet_state(load(unet_path)))
+        fills["unet"] = port_sd_unet_state(_load_state(unet_path))
     if codec_path is not None:
-        fill("codec", port_codec_state(load(codec_path)))
+        fills["codec"] = port_codec_state(_load_state(codec_path))
     if vae_path is not None:
-        fill("vae", port_vae_state(load(vae_path)))
+        fills["vae"] = port_vae_state(_load_state(vae_path))
     if codeformer_path is not None:
-        fill("codeformer", port_codeformer_state(load(codeformer_path)))
+        fills["codeformer"] = port_codeformer_state(
+            _load_state(codeformer_path))
+    return _assemble(reference_params, fills, require_complete)
 
-    for sub in require_complete:
-        missing = [k for k in flat_ref
-                   if k.startswith(f"params/{sub}/") and k not in filled]
-        if missing:
-            raise KeyError(
-                f"checkpoint does not cover {len(missing)} model tensors "
-                f"under params/{sub}: {sorted(missing)[:8]} ...")
-    return unflatten_params(out)
+
+def port_guidance_checkpoint(path, reference_params,
+                             require_complete: Tuple[str, ...] = (
+                                 "fake_unet", "cls_pred_branch")):
+    """``guidance_ckpt`` warm-start (ref model_sd15_with_codec_stage2.py:
+    74-83, strict=True): overlay a reference SDGuidance state dict onto an
+    initialized SDGuidance param tree. ``real_unet`` is required only when
+    the checkpoint carries it (the reference may delete it)."""
+    flat = port_guidance_state(_load_state(path))
+    req = tuple(require_complete)
+    if any(k.startswith("real_unet/") for k in flat) \
+            and "real_unet" not in req:
+        req = req + ("real_unet",)
+    return _assemble(reference_params, {"": flat}, req)

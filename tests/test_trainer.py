@@ -80,3 +80,42 @@ def test_trainer_two_steps(tmp_path):
     tr2 = Trainer(cfg)
     tr2.resume()
     assert int(tr2.state.step) == 2
+
+
+def test_config_snapshot_and_resume_overrides(tmp_path):
+    """The run dir gets a reproducible config.yaml snapshot (ref
+    train_sd15_codec_stage1.py:75) and resume honors the override_lr /
+    override_step escape hatches (ref :125-132)."""
+    import jax
+    import yaml
+
+    from onedc_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    data_dir = tmp_path / "imgs"
+    data_dir.mkdir()
+    save_image(rng.uniform(-1, 1, (80, 80, 3)).astype(np.float32),
+               data_dir / "im0.png")
+    cfg = Config.wrap(dict(
+        model=TINY_MODEL, train_data=str(data_dir),
+        run_dir=str(tmp_path / "run"), batch_size=1, resolutions=[64],
+        lmbda=2.9, allow_no_lpips=True, warmup_steps=1,
+        gradient_checkpointing=False))
+    tr = Trainer(cfg)
+
+    snap_path = tmp_path / "run" / "config.yaml"
+    assert snap_path.exists()
+    snap = yaml.safe_load(snap_path.read_text())
+    assert snap["lmbda"] == 2.9 and snap["model"]["ctrl_ch"] == 32
+
+    tr.ckpt.save(jax.device_get(tr.state), 5, None)
+
+    cfg2 = Config.wrap({**cfg, "override_step": 11, "override_lr": 1e-6})
+    tr2 = Trainer(cfg2)
+    tr2.resume()
+    assert int(tr2.state.step) == 11
+    # fresh optimizer: moment trees re-initialized to zeros
+    import numpy as _np
+    leaves = jax.tree_util.tree_leaves(tr2.state.opt_state)
+    assert all(_np.all(_np.asarray(x) == 0) for x in leaves
+               if hasattr(x, "shape") and getattr(x, "ndim", 0) > 0)

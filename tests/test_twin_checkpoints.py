@@ -27,8 +27,14 @@ from onedc_tpu.utils.port_torch import port_onedc_checkpoint
 from twins import codec_twin, sd_unet_twin
 
 
+@pytest.mark.slow
 def test_full_layout_twins_port_cleanly():
-    """Name+shape coverage against the flagship tree, zero FLOPs."""
+    """Name+shape coverage against the flagship tree. Zero device FLOPs,
+    but the flagship twin is ~1.3B params of host numpy (generation +
+    float64 LoRA merges + layout transposes) — tens of minutes wall, so
+    slow-marked; tiny-geometry porter coverage stays in the fast loop
+    (test_twin_rejects_renamed_keys, test_inference_cli's checkpoint_path
+    test)."""
     model = OneDC()
     key = jax.ShapeDtypeStruct((2,), jnp.uint32)
     img = jax.ShapeDtypeStruct((1, 512, 512, 3), jnp.float32)

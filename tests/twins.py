@@ -144,21 +144,10 @@ def _transformer2d(b: _Builder, p: str, ch: int, context_dim: int):
 # model.safetensors twin: SD1.5 UNet + LoRA + conv_in + vae_reduction
 # ---------------------------------------------------------------------------
 
-def sd_unet_twin(seed: int = 0,
-                 in_ch: int = 320, vae_ch: int = 4,
-                 block_channels: Sequence[int] = (320, 640, 1280, 1280),
-                 context_dim: int = 768,
-                 layers_per_block: int = 2) -> Dict[str, np.ndarray]:
-    b = _Builder(seed, lora=True)
-    ch = list(block_channels)
+def _sd_unet_body(b: _Builder, ch: Sequence[int], context_dim: int,
+                  layers_per_block: int):
+    """Shared SD1.5 UNet2DConditionModel body (down/mid/up blocks)."""
     temb = ch[0] * 4
-
-    # replaced conv_in (decoder_unet.py:390-393) — added AFTER the LoRA
-    # adapter, so plain weights
-    b.conv("conv_in", ch[0], in_ch)
-    b.linear("time_embedding.linear_1", temb, ch[0])
-    b.linear("time_embedding.linear_2", temb, temb)
-
     # down: CrossAttn x3 + plain (SD1.5 config)
     for i, c in enumerate(ch):
         is_final = i == len(ch) - 1
@@ -195,6 +184,22 @@ def sd_unet_twin(seed: int = 0,
             b.conv(f"up_blocks.{i}.upsamplers.0.conv", c, c)
         prev_out = c
 
+
+def sd_unet_twin(seed: int = 0,
+                 in_ch: int = 320, vae_ch: int = 4,
+                 block_channels: Sequence[int] = (320, 640, 1280, 1280),
+                 context_dim: int = 768,
+                 layers_per_block: int = 2) -> Dict[str, np.ndarray]:
+    b = _Builder(seed, lora=True)
+    ch = list(block_channels)
+    temb = ch[0] * 4
+
+    # replaced conv_in (decoder_unet.py:390-393) — added AFTER the LoRA
+    # adapter, so plain weights
+    b.conv("conv_in", ch[0], in_ch)
+    b.linear("time_embedding.linear_1", temb, ch[0])
+    b.linear("time_embedding.linear_2", temb, temb)
+    _sd_unet_body(b, ch, context_dim, layers_per_block)
     b.norm("conv_norm_out", ch[0])
     b.conv("conv_out", vae_ch, ch[0])
 
@@ -205,6 +210,53 @@ def sd_unet_twin(seed: int = 0,
     b.conv("vae_reduction.blocks.5", vae_ch, in_ch)
     b.conv("vae_reduction.short_cut", vae_ch, in_ch, k=1)
     return b.out
+
+
+def sd15_plain_unet_twin(seed: int = 0,
+                         block_channels: Sequence[int] = (320, 640,
+                                                          1280, 1280),
+                         context_dim: int = 768,
+                         layers_per_block: int = 2,
+                         in_ch: int = 4,
+                         out_ch: int = 4) -> Dict[str, np.ndarray]:
+    """Standard SD1.5 UNet2DConditionModel state dict (no LoRA, standard
+    conv_in/out) — the guidance real/fake UNets (ref sd_guidance.py:56-69)."""
+    b = _Builder(seed, lora=False)
+    ch = list(block_channels)
+    temb = ch[0] * 4
+    b.conv("conv_in", ch[0], in_ch)
+    b.linear("time_embedding.linear_1", temb, ch[0])
+    b.linear("time_embedding.linear_2", temb, temb)
+    _sd_unet_body(b, ch, context_dim, layers_per_block)
+    b.norm("conv_norm_out", ch[0])
+    b.conv("conv_out", out_ch, ch[0])
+    return b.out
+
+
+def guidance_twin(seed: int = 0,
+                  block_channels: Sequence[int] = (320, 640, 1280, 1280),
+                  context_dim: int = 768,
+                  layers_per_block: int = 2,
+                  with_real: bool = True) -> Dict[str, np.ndarray]:
+    """SDGuidance state dict twin (ref sd_guidance.py:56-151): real/fake
+    SD1.5 UNets + the SD1.5-branch cls_pred_branch Sequential."""
+    out: Dict[str, np.ndarray] = {}
+    prefixes = [("fake_unet", seed)]
+    if with_real:
+        prefixes.append(("real_unet", seed + 1))
+    for prefix, s in prefixes:
+        sd = sd15_plain_unet_twin(s, block_channels, context_dim,
+                                  layers_per_block)
+        out.update({f"{prefix}.{k}": v for k, v in sd.items()})
+    b = _Builder(seed + 2)
+    c = block_channels[-1]
+    b.conv("cls_pred_branch.0", c, c, k=4)
+    b.norm("cls_pred_branch.1", c)
+    b.conv("cls_pred_branch.3", c, c, k=4)
+    b.norm("cls_pred_branch.4", c)
+    b.conv("cls_pred_branch.6", 1, c, k=1)
+    out.update(b.out)
+    return out
 
 
 # ---------------------------------------------------------------------------
