@@ -34,16 +34,21 @@ LOG_SCALE_STEP = (LOG_SCALE_MAX - LOG_SCALE_MIN) / (SCALE_LEVELS - 1)
 DIST_SCALE_MIN = {"gaussian": SCALE_MIN, "laplace": 0.01}
 
 
+def _log_scale_bounds(distribution: str):
+    """Single source for the per-distribution log-scale range."""
+    return math.log(DIST_SCALE_MIN[distribution]), math.log(SCALE_MAX)
+
+
 def _log_scale_params(distribution: str):
-    lo = math.log(DIST_SCALE_MIN[distribution])
-    hi = math.log(SCALE_MAX)
+    lo, hi = _log_scale_bounds(distribution)
     return lo, (hi - lo) / (SCALE_LEVELS - 1)
 
 
 def scale_table(dtype=np.float32, distribution: str = "gaussian") -> np.ndarray:
-    lo = math.log(DIST_SCALE_MIN[distribution])
-    return np.exp(np.linspace(lo, math.log(SCALE_MAX),
-                              SCALE_LEVELS)).astype(dtype)
+    # np.linspace (not lo + step*arange): matches the reference's
+    # torch.linspace endpoint snapping bit-for-bit (entropy_models.py:256)
+    lo, hi = _log_scale_bounds(distribution)
+    return np.exp(np.linspace(lo, hi, SCALE_LEVELS)).astype(dtype)
 
 
 # ---------------------------------------------------------------------------

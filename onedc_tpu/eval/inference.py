@@ -61,6 +61,11 @@ def load_params(model: OneDC, cfg: Config):
     params = jax.jit(lambda x: model.init({"params": key}, x))(img)
     ckpt = cfg.get("ckpt")
     ref_dir = cfg.get("checkpoint_path")
+    if ckpt and ref_dir:
+        raise ValueError(
+            "both ckpt= and checkpoint_path= given — ambiguous weight "
+            "source; pass exactly one (ckpt: converted/our tree, "
+            "checkpoint_path: reference release dir)")
     if ckpt:
         log.info("loading params from %s", ckpt)
         loaded = load_safetensors(ckpt)

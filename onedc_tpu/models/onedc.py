@@ -131,6 +131,17 @@ class OneDC(nn.Module):
         The UNet runs one step at t=999; x0 is recovered from the
         vae_reduction pseudo-latent (ref model_..._stage1.py:312-324).
         """
+        x0 = self._one_step_x0(x_hat, y_semantic)
+        # x0 stays f32 (tiny alpha-bar at t=999 -> precision-critical,
+        # see nn/diffusion.py), but the VAE decode runs in the pipeline's
+        # working dtype (bf16 at inference): round 1 silently promoted
+        # the whole VAE decoder to f32 through this boundary.
+        return self.vae_decode_image(x0.astype(x_hat.dtype)), x0
+
+    def _one_step_x0(self, x_hat, y_semantic):
+        """Shared one-step UNet + x0 recovery (kept single-sourced so the
+        serial ``generate`` and the pipelined ``decode_device_x0`` cannot
+        drift apart on the precision-critical x0 handling)."""
         b = x_hat.shape[0]
         if y_semantic.ndim == 4:  # (B,H,W,C) -> (B, HW, C) cross-attn tokens
             tokens = y_semantic.reshape(b, -1, y_semantic.shape[-1])
@@ -138,12 +149,7 @@ class OneDC(nn.Module):
             tokens = y_semantic
         t = jnp.full((b,), self.conditioning_timestep, jnp.int32)
         eps, reduced = self.unet(x_hat, t, tokens)
-        x0 = get_x0_from_noise(reduced, eps, self.alphas_cumprod, t)
-        # x0 stays f32 (tiny alpha-bar at t=999 -> precision-critical,
-        # see nn/diffusion.py), but the VAE decode runs in the pipeline's
-        # working dtype (bf16 at inference): round 1 silently promoted
-        # the whole VAE decoder to f32 through this boundary.
-        return self.vae_decode_image(x0.astype(x_hat.dtype)), x0
+        return get_x0_from_noise(reduced, eps, self.alphas_cumprod, t)
 
     # -- training forward (ref model_..._stage1.py:233-272) ------------------
 
@@ -206,13 +212,7 @@ class OneDC(nn.Module):
 
     def decode_device_x0(self, y_hat, z_semantic):
         x_hat, y_semantic = self.codec.decompress_finish(y_hat, z_semantic)
-        b = x_hat.shape[0]
-        tokens = y_semantic.reshape(b, -1, y_semantic.shape[-1]) \
-            if y_semantic.ndim == 4 else y_semantic
-        t = jnp.full((b,), self.conditioning_timestep, jnp.int32)
-        eps, reduced = self.unet(x_hat, t, tokens)
-        x0 = get_x0_from_noise(reduced, eps, self.alphas_cumprod, t)
-        return x0.astype(x_hat.dtype)
+        return self._one_step_x0(x_hat, y_semantic).astype(x_hat.dtype)
 
     def decode_device_vae(self, x0):
         return self.vae_decode_image(x0)
@@ -293,7 +293,8 @@ class OneDCRuntime:
 
         rt = self._codec_rt
         if self.model.z_only:
-            return rt.encode_z_only(out["z_indices"], w, h, fp=fp)
+            return rt.encode_z_only(out["z_indices"], w, h, fp=fp,
+                                    caption=caption)
         return rt.write_streams(out, w, h, fp, caption=caption)
 
     def decode(self, fp=None, stream: Optional[bytes] = None):
@@ -368,7 +369,8 @@ class OneDCRuntime:
         if self.model.z_only:
             z = np.asarray(out["z_indices"])
             for j, i in enumerate(sel):
-                results[i] = rt.encode_z_only(z[j:j + 1], w, h)
+                results[i] = rt.encode_z_only(z[j:j + 1], w, h,
+                                              caption=caps[j])
             return results
         y_q_w = [np.asarray(a) for a in out["y_q_w"]]
         idx_w = [np.asarray(a) for a in out["indexes_w"]]

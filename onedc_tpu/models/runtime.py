@@ -126,23 +126,33 @@ class CodecRuntime:
         }
 
     def encode_z_only(self, z_indices, pic_width: int, pic_height: int,
-                      fp=None) -> Tuple[bytes, Dict[str, float]]:
+                      fp=None, caption: str = ""
+                      ) -> Tuple[bytes, Dict[str, float]]:
         """z-only variant: container with an empty y stream (the reference's
         exlow model has no bitstream writer at all — this adds one, 14 bits
-        per 64x64 block; ref z_only/inference.py:106-117 bpp accounting)."""
+        per 64x64 block; ref z_only/inference.py:106-117 bpp accounting).
+        ``caption`` rides the container exactly as in the lambda path."""
         bit_stream_z = self.fsq.pack_indices(np.asarray(z_indices))
+        caption_bytes = caption.encode("utf-8") if caption else b""
         total = encode_i(pic_height=pic_height, pic_width=pic_width,
                          bit_stream_y=b"", bit_stream_z=bit_stream_z,
-                         bit_stream_caption="", caption_length=0)
+                         bit_stream_caption=caption_bytes,
+                         caption_length=len(caption_bytes))
         if fp:
             write_to_file(total, fp)
+            file_size = filesize(fp)
+        else:
+            file_size = 0.0
         pixel_num = pic_height * pic_width
         bits_z = len(bit_stream_z) * 8
+        bits_caption = len(caption_bytes) * 8
         return total, {
-            "bits_y": 0, "bits_z": bits_z, "bits_caption": 0,
+            "bits_y": 0, "bits_z": bits_z, "bits_caption": bits_caption,
             "bits_total": len(total) * 8,
-            "bpp_y": 0.0, "bpp_z": bits_z / pixel_num, "bpp_caption": 0.0,
-            "bpp": len(total) * 8 / pixel_num, "bpp_file": 0.0,
+            "bpp_y": 0.0, "bpp_z": bits_z / pixel_num,
+            "bpp_caption": bits_caption / pixel_num,
+            "bpp": len(total) * 8 / pixel_num,
+            "bpp_file": file_size * 8 / pixel_num,
         }
 
     # -- decode -------------------------------------------------------------

@@ -54,17 +54,33 @@ std::shared_ptr<const InvBank> get_inv_bank(
     const std::vector<std::vector<int32_t>> &cdf_rows,
     const std::vector<int32_t> &sizes) {
   // key = (size, row values) of every row; FNV-1a hash bucket + full
-  // equality check (a collision must never alias two banks)
-  std::vector<int32_t> key;
-  for (size_t i = 0; i < cdf_rows.size(); ++i) {
-    key.push_back(sizes[i]);
-    key.insert(key.end(), cdf_rows[i].begin(), cdf_rows[i].end());
-  }
+  // equality check (a collision must never alias two banks). The hit
+  // path (every per-stream decoder of a serving batch re-registers the
+  // same bank) hashes and compares IN PLACE — the ~100 KB key vector is
+  // only materialized when a genuinely new bank is inserted.
   uint64_t h = 1469598103934665603ull;
-  for (int32_t v : key) {
+  auto mix = [&h](int32_t v) {
     h ^= static_cast<uint32_t>(v);
     h *= 1099511628211ull;
+  };
+  size_t key_len = 0;
+  for (size_t i = 0; i < cdf_rows.size(); ++i) {
+    mix(sizes[i]);
+    for (int32_t v : cdf_rows[i]) mix(v);
+    key_len += 1 + cdf_rows[i].size();
   }
+  auto key_equals = [&](const std::vector<int32_t> &stored) {
+    if (stored.size() != key_len) return false;
+    size_t p = 0;
+    for (size_t i = 0; i < cdf_rows.size(); ++i) {
+      if (stored[p++] != sizes[i]) return false;
+      const auto &row = cdf_rows[i];
+      if (!std::equal(row.begin(), row.end(), stored.begin() + p))
+        return false;
+      p += row.size();
+    }
+    return true;
+  };
   static std::mutex mu;
   static std::unordered_map<
       uint64_t, std::vector<std::pair<std::vector<int32_t>,
@@ -73,7 +89,13 @@ std::shared_ptr<const InvBank> get_inv_bank(
   std::lock_guard<std::mutex> lock(mu);
   auto &bucket = cache[h];
   for (const auto &e : bucket) {
-    if (e.first == key) return e.second;
+    if (key_equals(e.first)) return e.second;
+  }
+  std::vector<int32_t> key;
+  key.reserve(key_len);
+  for (size_t i = 0; i < cdf_rows.size(); ++i) {
+    key.push_back(sizes[i]);
+    key.insert(key.end(), cdf_rows[i].begin(), cdf_rows[i].end());
   }
   auto bank = std::make_shared<InvBank>();
   bank->rows.resize(cdf_rows.size());

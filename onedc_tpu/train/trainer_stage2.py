@@ -361,8 +361,13 @@ class Stage2Trainer:
                     # best tracked by the eval monitor key (ref
                     # monitor_key_lower, train_..._stage2.py:451-456)
                     ev = self.eval_one_epoch(step + 1)
-                    metric = ev.get(self.cfg.get("monitor_key",
-                                                 "total_loss"))
+                    mkey = self.cfg.get("monitor_key", "total_loss")
+                    if mkey not in ev:
+                        raise KeyError(
+                            f"monitor_key={mkey!r} not among eval metrics "
+                            f"{sorted(ev)} — best-checkpoint tracking would "
+                            f"silently never fire")
+                    metric = ev[mkey]
                     self.ckpt.save(jax.device_get(
                         {"gen": self.gen_state, "guid": self.guid_state}),
                         step + 1, metric)

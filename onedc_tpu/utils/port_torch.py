@@ -380,11 +380,17 @@ def port_guidance_state(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     UNets (standard diffusers naming), ``cls_pred_branch`` maps its
     nn.Sequential indices onto our ClsHead names. ``real_unet`` may be
     absent (the reference deletes it under ``gan_alone``)."""
+    # non-parameter state the reference persists but we recompute
+    # statically: the DDIM alphas_cumprod buffer (sd_guidance.py:89-92)
+    # and the FSDP dummy_network placeholder (:71-73)
+    _skip = ("alphas_cumprod", "dummy_network")
     subs: Dict[str, Dict[str, np.ndarray]] = {"real_unet": {},
                                               "fake_unet": {}}
     rest: Dict[str, np.ndarray] = {}
     for k, v in state.items():
         head = k.split(".", 1)[0]
+        if head in _skip:
+            continue
         if head in subs:
             subs[head][k.split(".", 1)[1]] = v
         elif head == "cls_pred_branch":

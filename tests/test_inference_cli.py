@@ -119,3 +119,16 @@ def test_load_params_from_reference_checkpoint_dir(tmp_path):
         got, twin["conv_in.weight"].transpose(2, 3, 1, 0))
     assert params["params"]["codec"]  # codec subtree present
     assert got.dtype == np.float32
+
+
+def test_load_params_rejects_ambiguous_sources(tmp_path):
+    """ckpt= and checkpoint_path= together must fail loudly, not silently
+    prefer one (a stale ckpt would shadow the release dir the user just
+    pointed at)."""
+    from onedc_tpu.eval.inference import build_model, load_params
+
+    cfg = Config.wrap(dict(model=TINY_MODEL, ckpt=str(tmp_path / "a.st"),
+                           checkpoint_path=str(tmp_path)))
+    model = build_model(cfg)
+    with pytest.raises(ValueError, match="ambiguous"):
+        load_params(model, cfg)

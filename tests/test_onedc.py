@@ -198,3 +198,15 @@ def test_z_only_decode_batch_chunked(monkeypatch):
     monkeypatch.setenv("ONEDC_PIPELINE_CHUNK", "2")
     for b, one in zip(rt.decode_batch(streams), singles):
         np.testing.assert_allclose(np.asarray(b), np.asarray(one), atol=2e-3)
+
+    # captions must ride the z-only container too — through both the
+    # single-image encode and the serving encode_many path
+    from onedc_tpu.entropy.framing import decode_i
+    cap_stream, cap_bpp = rt.encode(imgs[0], caption="exlow caption")
+    assert cap_bpp["bits_caption"] == len(b"exlow caption") * 8
+    dec = decode_i(bytes(cap_stream), rt._codec_rt.fsq.index_bits, rt.ds)
+    assert dec["bit_stream_caption"] == b"exlow caption"
+    many = rt.encode_many(imgs, captions=["c0", "", "c2"])
+    for (s, _), want in zip(many, [b"c0", b"", b"c2"]):
+        got = decode_i(bytes(s), rt._codec_rt.fsq.index_bits, rt.ds)
+        assert got["bit_stream_caption"] == want

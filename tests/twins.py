@@ -256,6 +256,13 @@ def guidance_twin(seed: int = 0,
     b.norm("cls_pred_branch.4", c)
     b.conv("cls_pred_branch.6", 1, c, k=1)
     out.update(b.out)
+    # non-parameter state the reference persists: the DDIM alphas_cumprod
+    # buffer (sd_guidance.py:89-92) and the FSDP dummy_network placeholder
+    # (:71-73) — the porter must SKIP these, not error
+    out["alphas_cumprod"] = np.linspace(0.9991, 0.0047, 1000,
+                                        dtype=np.float32)
+    out["dummy_network.fc.weight"] = np.zeros((4, 4), np.float32)
+    out["dummy_network.fc.bias"] = np.zeros((4,), np.float32)
     return out
 
 
