@@ -160,11 +160,19 @@ STAGES = {
 
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--stage":
+        # persistent compile cache for EVERY stage subprocess (stages
+        # that build their own model, e.g. tinyvae, would otherwise
+        # cold-compile the 768px program each bench run)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         print(json.dumps(STAGES[sys.argv[2]]()))
         return
 
     extra = {}
     for name in STAGES:
+        r = None
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--stage", name],
@@ -172,7 +180,12 @@ def main():
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             extra.update(json.loads(r.stdout.strip().splitlines()[-1]))
         except Exception as e:
-            extra[f"{name}_bench_error"] = str(e)[:200]
+            # surface the stage's real failure, not the JSON parse error
+            detail = str(e)
+            if r is not None and (r.returncode != 0 or not r.stdout.strip()):
+                tail = " | ".join((r.stderr or "").strip().splitlines()[-3:])
+                detail = f"rc={r.returncode}: {tail}" if tail else detail
+            extra[f"{name}_bench_error"] = detail[:300]
 
     # headline = the product path (lambda batched); fall back to the
     # device path only if the lambda bench failed outright

@@ -38,12 +38,7 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import DATA_AXIS, TENSOR_AXIS
-
-
-def spatial_act(mesh: Mesh) -> NamedSharding:
-    """NHWC activation sharding: batch over ``data``, H over ``tensor``."""
-    return NamedSharding(mesh, P(DATA_AXIS, TENSOR_AXIS))
+from .mesh import TENSOR_AXIS
 
 
 def spatial_anchor(mesh: Mesh) -> NamedSharding:

@@ -361,13 +361,16 @@ class Stage2Trainer:
                     # best tracked by the eval monitor key (ref
                     # monitor_key_lower, train_..._stage2.py:451-456)
                     ev = self.eval_one_epoch(step + 1)
-                    mkey = self.cfg.get("monitor_key", "total_loss")
-                    if mkey not in ev:
-                        raise KeyError(
-                            f"monitor_key={mkey!r} not among eval metrics "
-                            f"{sorted(ev)} — best-checkpoint tracking would "
-                            f"silently never fire")
-                    metric = ev[mkey]
+                    if ev:
+                        mkey = self.cfg.get("monitor_key", "total_loss")
+                        if mkey not in ev:
+                            raise KeyError(
+                                f"monitor_key={mkey!r} not among eval "
+                                f"metrics {sorted(ev)} — best-checkpoint "
+                                f"tracking would silently never fire")
+                        metric = ev[mkey]
+                    else:  # no eval set configured: rotate, skip best
+                        metric = None
                     self.ckpt.save(jax.device_get(
                         {"gen": self.gen_state, "guid": self.guid_state}),
                         step + 1, metric)
