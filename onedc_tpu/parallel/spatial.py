@@ -31,6 +31,16 @@ GroupNorm/attention reductions over the sharded H dim become psums whose
 addition order differs from the single-device schedule — bitwise-equal
 is NOT guaranteed, agreement to reduction-reorder tolerance is (asserted
 by tests/test_spatial.py).
+
+ENCODE is deliberately NOT sharded: the compress program picks rANS CDF
+rows from prior-net scales, and the decoder recomputes those scales with
+the replicated prior programs — if encode ran under a different
+reduction schedule, a borderline scale could land one CDF row off and
+the stream would decode to garbage. The bitstream-coupled programs
+(compress, decompress begin/update) therefore always run the one
+replicated schedule; only the post-bitstream NN stages are sharded here.
+(Same reason the reference requires encoder/decoder to run the same
+device kind.)
 """
 
 from __future__ import annotations
