@@ -260,10 +260,12 @@ class Trainer:
     # -- main loop ------------------------------------------------------------
 
     def train(self):
+        from ..utils.preempt import PreemptionGuard
+
         start = int(self.state.step)
         log.info("training from step %d to %d", start, self.total_steps)
         t0 = time.perf_counter()
-        with self.mesh:
+        with self.mesh, PreemptionGuard() as preempt:
             for step in range(start, self.total_steps):
                 metrics = self.train_one_step(step)
                 if (step + 1) % self.log_interval == 0:
@@ -274,6 +276,7 @@ class Trainer:
                     self.writer.log_dict(m, step + 1, prefix="train")
                     log.info("step %d: loss=%.4f bpp=%.4f (%.2fs/step)",
                              step + 1, m["total_loss"], m["bpp"], dt)
+                saved = False
                 if (step + 1) % self.save_interval == 0:
                     ev = self.eval_one_epoch(step + 1)
                     # best-checkpoint selection by the full training
@@ -282,6 +285,15 @@ class Trainer:
                     metric = ev.get("total_loss")
                     self.ckpt.save(
                         jax.device_get(self.state), step + 1, metric)
+                    saved = True
+                if preempt.triggered:
+                    # SIGTERM/SIGUSR1: save once and stop cleanly so the
+                    # run resumes from this exact step (utils/preempt.py)
+                    if not saved:
+                        self.ckpt.save(jax.device_get(self.state), step + 1)
+                    log.info("preempted: checkpointed step %d, stopping",
+                             step + 1)
+                    break
         self.writer.flush()
 
     def resume(self, step: Optional[int] = None):

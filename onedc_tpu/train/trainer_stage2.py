@@ -317,9 +317,11 @@ class Stage2Trainer:
         return m
 
     def train(self):
+        from ..utils.preempt import PreemptionGuard
+
         uncond1 = self.text.uncond_embedding(1)
         n_data = self.mesh.shape["data"]
-        with self.mesh:
+        with self.mesh, PreemptionGuard() as preempt:
             for step in range(self.total_steps):
                 batch = next(self.train_iter)
                 imgs_np, captions = self.round_batch(
@@ -357,6 +359,7 @@ class Stage2Trainer:
                     self.writer.log_dict(m, step + 1, prefix="train2")
                     self.log.info("step %d: %s", step + 1,
                                   {k: round(v, 5) for k, v in m.items()})
+                saved = False
                 if (step + 1) % self.save_interval == 0:
                     # best tracked by the eval monitor key (ref
                     # monitor_key_lower, train_..._stage2.py:451-456)
@@ -374,6 +377,17 @@ class Stage2Trainer:
                     self.ckpt.save(jax.device_get(
                         {"gen": self.gen_state, "guid": self.guid_state}),
                         step + 1, metric)
+                    saved = True
+                if preempt.triggered:
+                    # SIGTERM/SIGUSR1: save once and stop cleanly
+                    # (utils/preempt.py)
+                    if not saved:
+                        self.ckpt.save(jax.device_get(
+                            {"gen": self.gen_state,
+                             "guid": self.guid_state}), step + 1)
+                    self.log.info("preempted: checkpointed step %d, "
+                                  "stopping", step + 1)
+                    break
 
 
 def main(argv=None):
