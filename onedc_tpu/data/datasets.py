@@ -222,6 +222,7 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self._epoch = 0
+        self._skip_batches = 0  # consumed once by the next __iter__
 
     def __len__(self):
         n = len(self.dataset)
@@ -236,7 +237,8 @@ class DataLoader:
         self._epoch += 1
         bs = self.batch_size
         stop = n - n % bs if self.drop_last else n
-        for start in range(0, stop, bs):
+        skip, self._skip_batches = self._skip_batches, 0
+        for start in range(skip * bs, stop, bs):
             items = [self.dataset[int(i)] for i in order[start:start + bs]]
             yield {
                 "image": np.stack([it["image"] for it in items]),
@@ -245,8 +247,17 @@ class DataLoader:
             }
 
 
-def cycle(loader) -> Iterator:
-    """Infinite epoch-cycling iterator (ref dmd/utils.py cycle)."""
+def cycle(loader, skip: int = 0) -> Iterator:
+    """Infinite epoch-cycling iterator (ref dmd/utils.py cycle).
+
+    ``skip`` fast-forwards that many batches WITHOUT loading any data
+    (resume: the stream continues exactly where a preempted run stopped
+    — epoch shuffles stay aligned because only the epoch counter and an
+    in-epoch offset advance, never the dataset reads)."""
+    if skip:
+        per = len(loader)
+        loader._epoch += skip // per
+        loader._skip_batches = skip % per
     while True:
         for batch in loader:
             yield batch

@@ -160,9 +160,10 @@ class Trainer:
             cfg.get("batch_scales", None),
             seed=int(cfg.get("seed", 0)))
         train_ds = ImageFolderDataset(cfg.train_data)
-        self.train_iter = cycle(DataLoader(
+        self.train_loader = DataLoader(
             train_ds, self.batch_size, shuffle=True,
-            seed=int(cfg.get("seed", 0))))
+            seed=int(cfg.get("seed", 0)))
+        self.train_iter = cycle(self.train_loader)
         self.eval_loader = (DataLoader(
             ImageFolderDataset(cfg.eval_data), 1)
             if cfg.get("eval_data") else None)
@@ -178,7 +179,10 @@ class Trainer:
         self.log_interval = int(cfg.get("log_interval", 200))
         self.save_interval = int(cfg.get("save_interval", 5000))
         self.total_steps = int(cfg.get("total_steps", 400_000))
-        self.rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 1)
+        # per-step noise keys are fold_in(base, step), not a split chain:
+        # a resumed run reproduces the exact keys an uninterrupted run
+        # would have used at the same steps
+        self.base_rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 1)
 
     # -- one training step ---------------------------------------------------
 
@@ -200,7 +204,7 @@ class Trainer:
 
     def train_one_step(self, step: int):
         batch = self._prepare_batch(next(self.train_iter), step)
-        self.rng, sub = jax.random.split(self.rng)
+        sub = jax.random.fold_in(self.base_rng, step)
         self.state, metrics = self.step_fn(self.state, batch, sub)
         return metrics
 
@@ -263,6 +267,8 @@ class Trainer:
         from ..utils.preempt import PreemptionGuard
 
         start = int(self.state.step)
+        if start:  # resumed: fast-forward the data stream (no loads)
+            self.train_iter = cycle(self.train_loader, skip=start)
         log.info("training from step %d to %d", start, self.total_steps)
         t0 = time.perf_counter()
         with self.mesh, PreemptionGuard() as preempt:

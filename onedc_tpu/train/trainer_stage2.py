@@ -245,7 +245,10 @@ class Stage2Trainer:
         self.update_ratio = int(cfg.get("dfake_gen_update_ratio", 10))
         self.batch_size = int(cfg.get("batch_size", 4))
         ds = ImageFolderDataset(cfg.train_data)
-        self.train_iter = cycle(DataLoader(ds, self.batch_size, shuffle=True))
+        self.train_loader = DataLoader(ds, self.batch_size, shuffle=True,
+                                       seed=int(cfg.get("seed", 0)))
+        self.train_iter = cycle(self.train_loader)
+        self.start_step = 0
         self.eval_loader = (DataLoader(
             ImageFolderDataset(cfg.eval_data), 1)
             if cfg.get("eval_data") else None)
@@ -257,7 +260,9 @@ class Stage2Trainer:
         self.total_steps = int(cfg.get("total_steps", 1_000_000))
         self.log_interval = int(cfg.get("log_interval", 200))
         self.save_interval = int(cfg.get("save_interval", 5000))
-        self.rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 2)
+        # per-step keys via fold_in(base, step): exact continuation of
+        # the key stream across preemption + resume
+        self.base_rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 2)
 
     @staticmethod
     def round_batch(imgs_np, captions, n_data: int):
@@ -321,8 +326,12 @@ class Stage2Trainer:
 
         uncond1 = self.text.uncond_embedding(1)
         n_data = self.mesh.shape["data"]
+        start = self.start_step
+        if start:  # resumed: fast-forward the data stream (no loads)
+            self.train_iter = cycle(self.train_loader, skip=start)
+            self.log.info("resuming stage-2 training at step %d", start)
         with self.mesh, PreemptionGuard() as preempt:
-            for step in range(self.total_steps):
+            for step in range(start, self.total_steps):
                 batch = next(self.train_iter)
                 imgs_np, captions = self.round_batch(
                     np.asarray(batch["image"]), list(batch["caption"]),
@@ -335,7 +344,8 @@ class Stage2Trainer:
                     jnp.asarray(imgs_np), jnp.asarray(text_np),
                     jnp.asarray(uncond_np))
                 imgs = {"image": image}
-                self.rng, r1, r2 = jax.random.split(self.rng, 3)
+                r1, r2 = jax.random.split(
+                    jax.random.fold_in(self.base_rng, step))
 
                 # generator turn (gated), produces latents either way
                 if step % self.update_ratio == 0:
@@ -390,13 +400,32 @@ class Stage2Trainer:
                     break
 
 
+    def resume(self, step=None):
+        """Resume both train states from a rotated checkpoint (ref
+        Trainer.load, train_sd15_codec_stage2.py:219-222: step parsed
+        from the dir name + accelerate load_state). ``step=None`` picks
+        the latest; the train loop, data stream, and per-step RNG all
+        continue from exactly that step."""
+        target = jax.device_get({"gen": self.gen_state,
+                                 "guid": self.guid_state})
+        restored, step = self.ckpt.restore(target, step)
+        self.gen_state = restored["gen"]
+        self.guid_state = restored["guid"]
+        self.start_step = int(step)
+        self.log.info("restored stage-2 checkpoint at step %d", step)
+
+
 def main(argv=None):
     import argparse
     from ..config import load_config
     p = argparse.ArgumentParser()
     p.add_argument("--config", default=None)
+    p.add_argument("--resume", action="store_true")
     args, overrides = p.parse_known_args(argv)
-    Stage2Trainer(load_config(args.config, overrides)).train()
+    tr = Stage2Trainer(load_config(args.config, overrides))
+    if args.resume:
+        tr.resume()
+    tr.train()
 
 
 if __name__ == "__main__":
