@@ -283,6 +283,13 @@ def make_grain_loader(dataset, batch_size: int, *, shuffle: bool = True,
             return {"image": it["image"], "caption": it["caption"],
                     "name": it["name"]}
 
+        def __repr__(self):
+            # grain validates restored iterator state against
+            # repr(data_source); the default repr embeds the object
+            # address, which would reject every cross-process resume
+            return (f"OneDCGrainSource({type(dataset).__name__}, "
+                    f"n={len(dataset)})")
+
     sampler = grain.IndexSampler(
         num_records=len(dataset),
         shuffle=shuffle,

@@ -160,10 +160,22 @@ class Trainer:
             cfg.get("batch_scales", None),
             seed=int(cfg.get("seed", 0)))
         train_ds = ImageFolderDataset(cfg.train_data)
-        self.train_loader = DataLoader(
-            train_ds, self.batch_size, shuffle=True,
-            seed=int(cfg.get("seed", 0)))
-        self.train_iter = cycle(self.train_loader)
+        if cfg.get("loader", "simple") == "grain":
+            # production pipeline: multiprocess decode, deterministic
+            # shuffle, per-process sharding for multi-host; its iterator
+            # state rides the checkpoints (loader_state_*.bin) so resume
+            # continues the exact stream
+            from ..data.datasets import make_grain_loader
+            self.train_loader = None
+            self.train_iter = make_grain_loader(
+                train_ds, self.batch_size, shuffle=True,
+                seed=int(cfg.get("seed", 0)),
+                num_workers=int(cfg.get("loader_workers", 8)))
+        else:
+            self.train_loader = DataLoader(
+                train_ds, self.batch_size, shuffle=True,
+                seed=int(cfg.get("seed", 0)))
+            self.train_iter = cycle(self.train_loader)
         self.eval_loader = (DataLoader(
             ImageFolderDataset(cfg.eval_data), 1)
             if cfg.get("eval_data") else None)
@@ -267,7 +279,8 @@ class Trainer:
         from ..utils.preempt import PreemptionGuard
 
         start = int(self.state.step)
-        if start:  # resumed: fast-forward the data stream (no loads)
+        if start and self.train_loader is not None:
+            # resumed (simple loader): fast-forward the stream, no loads
             self.train_iter = cycle(self.train_loader, skip=start)
         log.info("training from step %d to %d", start, self.total_steps)
         t0 = time.perf_counter()
@@ -291,20 +304,49 @@ class Trainer:
                     metric = ev.get("total_loss")
                     self.ckpt.save(
                         jax.device_get(self.state), step + 1, metric)
+                    self._save_loader_state(step + 1)
                     saved = True
                 if preempt.triggered:
                     # SIGTERM/SIGUSR1: save once and stop cleanly so the
                     # run resumes from this exact step (utils/preempt.py)
                     if not saved:
                         self.ckpt.save(jax.device_get(self.state), step + 1)
+                        self._save_loader_state(step + 1)
                     log.info("preempted: checkpointed step %d, stopping",
                              step + 1)
                     break
         self.writer.flush()
 
+    # -- loader-state checkpointing (grain path) ------------------------------
+
+    def _loader_state_path(self, step: int):
+        return Path(self.ckpt.run_dir) / f"loader_state_{step:06d}.bin"
+
+    def _save_loader_state(self, step: int):
+        """Grain iterators checkpoint their exact stream position
+        (get_state/set_state); the simple DataLoader path doesn't need
+        this (cycle(skip=) reconstructs it from the step count)."""
+        get_state = getattr(self.train_iter, "get_state", None)
+        if get_state is None:
+            return
+        self._loader_state_path(step).write_bytes(get_state())
+        states = sorted(Path(self.ckpt.run_dir).glob("loader_state_*.bin"))
+        while len(states) > self.ckpt.max_checkpoints:
+            states.pop(0).unlink()
+
     def resume(self, step: Optional[int] = None):
         self.state, restored = self.ckpt.restore(jax.device_get(self.state),
                                                  step)
+        set_state = getattr(self.train_iter, "set_state", None)
+        lsp = self._loader_state_path(int(restored))
+        if set_state is not None:
+            if lsp.exists():
+                set_state(lsp.read_bytes())
+                self._loader_state_restored = True
+                log.info("restored grain loader state at step %d", restored)
+            else:
+                log.warning("no loader state for step %d: the grain data "
+                            "stream restarts from scratch", restored)
         # escape hatches (ref train_sd15_codec_stage1.py:125-132):
         # override_lr rebuilds a FRESH optimizer at the new lr (moments
         # reset, like the reference's prepare_optimizer); override_step

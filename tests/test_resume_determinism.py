@@ -51,6 +51,39 @@ def test_cycle_skip_loads_nothing():
     assert len(loads) == 4  # exactly one batch
 
 
+def test_grain_loader_state_roundtrip():
+    """The production (grain) loader continues its exact stream through
+    get_state/set_state — what the trainer writes as loader_state_*.bin
+    next to each checkpoint."""
+    from onedc_tpu.data.datasets import make_grain_loader
+
+    it = make_grain_loader(_Toy(), 4, shuffle=True, seed=3, num_workers=0)
+    for _ in range(3):
+        next(it)
+    state = it.get_state()
+    ref = [_ids(next(it)) for _ in range(3)]
+
+    it2 = make_grain_loader(_Toy(), 4, shuffle=True, seed=3, num_workers=0)
+    it2.set_state(state)
+    got = [_ids(next(it2)) for _ in range(3)]
+    assert got == ref
+
+
+def test_trainer_loader_state_files_rotate(tmp_path):
+    from types import SimpleNamespace
+
+    from onedc_tpu.train.trainer import Trainer
+
+    tr = Trainer.__new__(Trainer)
+    tr.ckpt = SimpleNamespace(run_dir=tmp_path, max_checkpoints=2)
+    tr.train_iter = SimpleNamespace(get_state=lambda: b"\x01\x02")
+    for step in (5, 10, 15):
+        tr._save_loader_state(step)
+    names = sorted(p.name for p in tmp_path.glob("loader_state_*.bin"))
+    assert names == ["loader_state_000010.bin", "loader_state_000015.bin"]
+    assert tr._loader_state_path(15).read_bytes() == b"\x01\x02"
+
+
 def test_fold_in_step_keys_are_resume_invariant():
     import jax
 
