@@ -181,6 +181,10 @@ class Trainer:
             if cfg.get("eval_data") else None)
 
         run_dir = Path(cfg.get("run_dir", "runs/stage1"))
+        # multi-host: one writer of checkpoints/logs (the reference's
+        # accelerator.is_main_process gating); make_writer gates itself
+        from ..parallel.distributed import is_main_process
+        self._is_main = is_main_process()
         self.ckpt = CheckpointManager(run_dir,
                                       int(cfg.get("max_checkpoint", 3)))
         save_config_snapshot(cfg, run_dir)
@@ -302,14 +306,15 @@ class Trainer:
                     # objective (ref monitor_key total_loss,
                     # train_sd15_codec_stage1.py:346-356)
                     metric = ev.get("total_loss")
-                    self.ckpt.save(
-                        jax.device_get(self.state), step + 1, metric)
-                    self._save_loader_state(step + 1)
+                    if self._is_main:
+                        self.ckpt.save(
+                            jax.device_get(self.state), step + 1, metric)
+                        self._save_loader_state(step + 1)
                     saved = True
                 if preempt.triggered:
                     # SIGTERM/SIGUSR1: save once and stop cleanly so the
                     # run resumes from this exact step (utils/preempt.py)
-                    if not saved:
+                    if not saved and self._is_main:
                         self.ckpt.save(jax.device_get(self.state), step + 1)
                         self._save_loader_state(step + 1)
                     log.info("preempted: checkpointed step %d, stopping",
@@ -384,6 +389,9 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true")
     args, overrides = parser.parse_known_args(argv)
     cfg = load_config(args.config, overrides)
+    if cfg.get("multihost"):  # TPU pod slice: wire the hosts first
+        from ..parallel.distributed import initialize
+        initialize()
     trainer = Trainer(cfg)
     if args.resume:
         trainer.resume()

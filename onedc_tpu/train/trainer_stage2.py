@@ -254,6 +254,8 @@ class Stage2Trainer:
             if cfg.get("eval_data") else None)
         self.rd_loss = rd
         run_dir = cfg.get("run_dir", "runs/stage2")
+        from ..parallel.distributed import is_main_process
+        self._is_main = is_main_process()
         self.ckpt = CheckpointManager(run_dir,
                                       int(cfg.get("max_checkpoint", 3)))
         self.writer = make_writer(f"{run_dir}/tb")
@@ -370,7 +372,7 @@ class Stage2Trainer:
                     self.log.info("step %d: %s", step + 1,
                                   {k: round(v, 5) for k, v in m.items()})
                 saved = False
-                if (step + 1) % self.save_interval == 0:
+                if (step + 1) % self.save_interval == 0 and self._is_main:
                     # best tracked by the eval monitor key (ref
                     # monitor_key_lower, train_..._stage2.py:451-456)
                     ev = self.eval_one_epoch(step + 1)
@@ -391,7 +393,7 @@ class Stage2Trainer:
                 if preempt.triggered:
                     # SIGTERM/SIGUSR1: save once and stop cleanly
                     # (utils/preempt.py)
-                    if not saved:
+                    if not saved and self._is_main:
                         self.ckpt.save(jax.device_get(
                             {"gen": self.gen_state,
                              "guid": self.guid_state}), step + 1)
@@ -422,7 +424,11 @@ def main(argv=None):
     p.add_argument("--config", default=None)
     p.add_argument("--resume", action="store_true")
     args, overrides = p.parse_known_args(argv)
-    tr = Stage2Trainer(load_config(args.config, overrides))
+    cfg = load_config(args.config, overrides)
+    if cfg.get("multihost"):  # TPU pod slice: wire the hosts first
+        from ..parallel.distributed import initialize
+        initialize()
+    tr = Stage2Trainer(cfg)
     if args.resume:
         tr.resume()
     tr.train()

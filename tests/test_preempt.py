@@ -32,6 +32,9 @@ def test_trainer_loop_checkpoints_and_stops_on_signal():
     tr.save_interval = 10_000
     tr.mesh = contextlib.nullcontext()
     tr.state = SimpleNamespace(step=0)
+    tr.train_loader = None
+    tr._is_main = True
+    tr.train_iter = SimpleNamespace()  # no get_state: loader state n/a
     saves = []
     tr.ckpt = SimpleNamespace(
         save=lambda state, step, metric=None: saves.append((step, metric)))
@@ -63,6 +66,9 @@ def test_trainer_loop_no_double_save_when_interval_hits():
     tr.save_interval = 2
     tr.mesh = contextlib.nullcontext()
     tr.state = SimpleNamespace(step=0)
+    tr.train_loader = None
+    tr._is_main = True
+    tr.train_iter = SimpleNamespace()
     tr.eval_one_epoch = lambda step: {"total_loss": 1.0}
     saves = []
     tr.ckpt = SimpleNamespace(

@@ -68,6 +68,29 @@ def test_spatial_anchors_shard_the_activations(rt_and_stream):
     assert TENSOR_AXIS in out.sharding.spec
 
 
+def test_spatial_z_only_decode_matches(rt_and_stream):
+    """The z-only program is anchored on its OUTPUT only (z_indices'
+    H/64 grid can be smaller than the axis) — verify the sharded program
+    still reproduces the replicated decode."""
+    import jax.numpy as jnp
+
+    rt, _ = rt_and_stream
+    model_z = OneDC(z_only=True, **TINY)
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (1, 64, 64, 3), minval=-1, maxval=1)
+    params = jax.jit(lambda x: model_z.init({"params": key}, x))(img)
+    rtz = OneDCRuntime(model_z, params)
+    zi = jnp.zeros((1, 1, 1), jnp.int32)
+    ref = np.asarray(rtz._decode_z_only(rtz.params, zi))
+
+    mesh = make_mesh(jax.devices("cpu")[:8], tensor=4)
+    enable_spatial_decode(rtz, mesh)
+    sp = rtz._decode_z_only(rtz.params, zi)
+    shard_h = {s.data.shape[1] for s in sp.addressable_shards}
+    assert shard_h == {sp.shape[1] // 4}, shard_h
+    np.testing.assert_allclose(np.asarray(sp), ref, rtol=2e-4, atol=2e-4)
+
+
 def test_spatial_pipelined_serving_path(rt_and_stream):
     """decode_batch (the pipelined serving flavor) picks the anchors up
     transparently: same bytes in, same images out."""
