@@ -153,6 +153,56 @@ class Evaluator:
         self._write_reports(rows, avg.mean())
         return avg.mean()
 
+    def evaluate_batched(self):
+        """Serving-throughput mode (``--serving`` / ``serving: true``):
+        all images ride the dispatch-ahead batched encoder
+        (``encode_many``) and the software-pipelined batched decoder
+        (``decode_batch``) — the exact paths bench.py's headline
+        measures — with aggregate encodes/s + decodes/s in the summary.
+        Streams, PNGs and bpp tables match ``evaluate()``; per-image
+        timing columns are replaced by the aggregate rates."""
+        cfg = self.cfg
+        from ..entropy.framing import write_to_file
+
+        ds = ImageFolderDataset(cfg.dataset_path)
+        assert len(ds), f"no images under {cfg.dataset_path}"
+        captions = self._load_captions()
+        items = [ds[i] for i in range(len(ds))]
+        imgs = [jnp.asarray(it["image"])[None] for it in items]
+        caps = [captions.get(it["name"], it.get("caption", ""))
+                for it in items]
+
+        t0 = time.perf_counter()
+        enc = self.runtime.encode_many(imgs, captions=caps)
+        t_enc = time.perf_counter() - t0
+        streams = []
+        for it, (stream, _) in zip(items, enc):
+            write_to_file(stream, str(self.out_dir / "bin"
+                                      / f"{it['name']}.bin"))
+            streams.append(stream)
+
+        t0 = time.perf_counter()
+        recons = self.runtime.decode_batch(streams)
+        jax.block_until_ready(recons[-1])
+        t_dec = time.perf_counter() - t0
+
+        rows = []
+        avg = AvgDict()
+        for it, (_, bpp), recon in zip(items, enc, recons):
+            save_image(np.asarray(recon[0]),
+                       self.out_dir / "recon" / f"{it['name']}.png")
+            row = {"name": it["name"], **bpp}
+            rows.append(row)
+            avg.update({k: v for k, v in row.items() if k != "name"})
+        summary = avg.mean()
+        n = len(items)
+        summary["encodes_per_sec"] = n / t_enc
+        summary["decodes_per_sec"] = n / t_dec
+        log.info("serving: %.2f encodes/s, %.2f decodes/s over %d images",
+                 summary["encodes_per_sec"], summary["decodes_per_sec"], n)
+        self._write_reports(rows, summary)
+        return summary
+
     def decode_only(self, bin_path):
         """Decode an existing .bin with no encoder state (ref --decoder_only)."""
         bin_path = Path(bin_path)
@@ -184,6 +234,10 @@ def main(argv=None):
     parser.add_argument("--config", default=None)
     parser.add_argument("--decoder_only", action="store_true")
     parser.add_argument("--decoder_bin_path", default=None)
+    parser.add_argument("--serving", action="store_true",
+                        help="batched serving paths (encode_many + "
+                             "pipelined decode_batch) with aggregate "
+                             "throughput instead of per-image timing")
     args, overrides = parser.parse_known_args(argv)
     cfg = load_config(args.config, overrides)
 
@@ -191,6 +245,8 @@ def main(argv=None):
     if args.decoder_only:
         assert args.decoder_bin_path, "--decoder_bin_path required"
         ev.decode_only(args.decoder_bin_path)
+    elif args.serving or cfg.get("serving"):
+        ev.evaluate_batched()
     else:
         ev.evaluate()
 

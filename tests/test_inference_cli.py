@@ -132,3 +132,46 @@ def test_load_params_rejects_ambiguous_sources(tmp_path):
     model = build_model(cfg)
     with pytest.raises(ValueError, match="ambiguous"):
         load_params(model, cfg)
+
+
+@pytest.mark.slow
+def test_inference_cli_serving_mode(tmp_path):
+    """--serving: encode_many + pipelined decode_batch from the CLI.
+    Streams must be byte-identical to the per-image mode; recons agree
+    to fusion epsilon; the summary gains aggregate throughput."""
+    from onedc_tpu.eval.inference import Evaluator
+
+    data_dir = tmp_path / "imgs"
+    data_dir.mkdir()
+    rng = np.random.default_rng(1)
+    # mixed sizes exercise the serving bucketing end-to-end
+    save_image(rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32),
+               data_dir / "a.png")
+    save_image(rng.uniform(-1, 1, (100, 40, 3)).astype(np.float32),
+               data_dir / "b.png")
+
+    cfg = Config.wrap(dict(model=TINY_MODEL, dataset_path=str(data_dir),
+                           output_path=str(tmp_path / "serve"),
+                           use_bf16=False))
+    ev = Evaluator(cfg)
+    summary = ev.evaluate_batched()
+    assert summary["bpp"] > 0
+    assert summary["encodes_per_sec"] > 0
+    assert summary["decodes_per_sec"] > 0
+    assert (tmp_path / "serve" / "bpp_summary.csv").exists()
+
+    cfg2 = Config.wrap(dict(model=TINY_MODEL, dataset_path=str(data_dir),
+                            output_path=str(tmp_path / "per_img"),
+                            use_bf16=False))
+    ev2 = Evaluator(cfg2)
+    ev2.evaluate()
+    for name in ("a", "b"):
+        sb = (tmp_path / "serve" / "bin" / f"{name}.bin").read_bytes()
+        pb = (tmp_path / "per_img" / "bin" / f"{name}.bin").read_bytes()
+        assert sb == pb, f"serving stream differs for {name}"
+        from PIL import Image
+        ra = np.asarray(Image.open(
+            tmp_path / "serve" / "recon" / f"{name}.png")).astype(int)
+        rb = np.asarray(Image.open(
+            tmp_path / "per_img" / "recon" / f"{name}.png")).astype(int)
+        assert np.abs(ra - rb).max() <= 1  # fusion epsilon, uint8 domain
