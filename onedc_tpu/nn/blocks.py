@@ -35,6 +35,66 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, h * 2, w * 2, c)
 
 
+def upsample2x_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
+                       bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """``conv3x3(nearest_up_2x(x))`` as ONE lhs-dilated conv at input res.
+
+    Identity (1D): out[2i] = W0 x[i-1] + (W1+W2) x[i];
+    out[2i+1] = (W0+W1) x[i] + W2 x[i+1] — i.e. a stride-2 transposed
+    conv whose 4-tap kernel is conv_full(W, [1,1]). In 2D the kernel is
+    K4 = conv_full(W, ones(2,2)). Exact up to fp reassociation (adjacent
+    taps are summed before the multiply).
+
+    Why: the naive form materializes the upsampled tensor and reads it
+    back at FULL resolution — the largest tensors in the whole decode
+    (768x768x256 bf16 = 302 MB/pass). This form reads at half res and
+    skips the materialization. Measured on v5e (tests/golden/
+    probe_upsample_conv.py, conv+GroupNorm consumer, bf16):
+    192x192x512 10.9 -> 6.9 ms, 384x384x256 15.1 -> 9.5 ms (B=1).
+    """
+    k4 = (jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+          + jnp.pad(kernel, ((1, 0), (0, 1), (0, 0), (0, 0)))
+          + jnp.pad(kernel, ((0, 1), (1, 0), (0, 0), (0, 0)))
+          + jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0))))
+    y = jax.lax.conv_general_dilated(
+        x, k4, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y if bias is None else y + bias
+
+
+class UpsampleConv2x(nn.Module):
+    """Drop-in for ``upsample_nearest_2x`` + ``nn.Conv(3x3)``.
+
+    Same param tree as ``nn.Conv`` (``kernel`` (3,3,Ci,Co) + ``bias``),
+    so torch->jax porters and existing checkpoints are unaffected; same
+    math up to fp reassociation. Set ``ONEDC_UPSAMPLE_CONV=0`` to fall
+    back to the materialized-upsample form.
+    """
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        import os
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, x.shape[-1], self.features))
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,)) if self.use_bias else None)
+        # match nn.Conv(dtype=None) promotion semantics
+        dt = jnp.promote_types(x.dtype, kernel.dtype)
+        x = x.astype(dt)
+        kernel = kernel.astype(dt)
+        bias = None if bias is None else bias.astype(dt)
+        if os.environ.get("ONEDC_UPSAMPLE_CONV", "1") == "0":
+            y = jax.lax.conv_general_dilated(
+                upsample_nearest_2x(x), kernel, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y if bias is None else y + bias
+        return upsample2x_conv3x3(x, kernel, bias)
+
+
 def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
     """Depth-to-space matching torch.nn.PixelShuffle channel ordering.
 

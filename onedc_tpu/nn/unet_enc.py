@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from .attention import multi_head_attention_bnhd
-from .blocks import GroupNorm, ResnetBlockVQ, upsample_nearest_2x
+from .blocks import GroupNorm, ResnetBlockVQ, UpsampleConv2x
 
 
 def sinusoidal_time_embedding(timesteps, dim: int, *, flip_sin_to_cos: bool,
@@ -124,8 +124,7 @@ class Upsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = upsample_nearest_2x(x)
-        return nn.Conv(self.channels, (3, 3), padding=1, name="conv")(x)
+        return UpsampleConv2x(self.channels, name="conv")(x)
 
 
 class DownBlock2D(nn.Module):

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..ops.pallas_conv import affine_silu_conv3x3
 from .attention import multi_head_attention
-from .blocks import GroupNorm, upsample_nearest_2x
+from .blocks import GroupNorm, UpsampleConv2x
 
 
 class Conv2dParams(nn.Module):
@@ -148,8 +148,7 @@ class VaeUpBlock(nn.Module):
         for i in range(self.num_layers):
             x = VaeResnetBlock(self.out_ch, name=f"resnets_{i}")(x)
         if self.add_upsample:
-            x = upsample_nearest_2x(x)
-            x = nn.Conv(self.out_ch, (3, 3), padding=1, name="upsamplers_0")(x)
+            x = UpsampleConv2x(self.out_ch, name="upsamplers_0")(x)
         return x
 
 
@@ -277,9 +276,8 @@ class TinyVaeDecoder(nn.Module):
         for stage in range(3):
             for b in range(3):
                 x = TaesdBlock(self.ch, name=f"stage{stage}_block{b}")(x)
-            x = upsample_nearest_2x(x)
-            x = nn.Conv(self.ch, (3, 3), padding=1, use_bias=False,
-                        name=f"stage{stage}_conv")(x)
+            x = UpsampleConv2x(self.ch, use_bias=False,
+                               name=f"stage{stage}_conv")(x)
         x = TaesdBlock(self.ch, name="final_block")(x)
         return nn.Conv(self.out_ch, (3, 3), padding=1, name="conv_out")(x)
 

@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .blocks import GroupNorm, ResnetBlockVQ, upsample_nearest_2x
+from .blocks import GroupNorm, ResnetBlockVQ, UpsampleConv2x
 
 
 class VQGANEncoder(nn.Module):
@@ -72,9 +72,7 @@ class VQGANDecoder(nn.Module):
                 h = ResnetBlockVQ(prev if j == 0 else block_out, block_out,
                                   name=f"up_{i}_block_{j}")(h)
             if i != 0:
-                h = upsample_nearest_2x(h)
-                h = nn.Conv(block_out, (3, 3), padding="SAME",
-                            name=f"up_{i}_conv")(h)
+                h = UpsampleConv2x(block_out, name=f"up_{i}_conv")(h)
         h = GroupNorm(32, 1e-6, name="norm_out")(h)
         h = jax.nn.silu(h)
         return nn.Conv(self.out_channels, (3, 3), padding="SAME",

@@ -240,3 +240,37 @@ def test_subpel_conv_shapes(rng):
     x = jnp.asarray(rng.normal(size=(1, 3, 3, 8)).astype(np.float32))
     params = jax.jit(jmod.init)(jax.random.PRNGKey(0), x)
     assert jax.jit(jmod.apply)(params, x).shape == (1, 6, 6, 4)
+
+
+def test_upsample_conv2x_exact_and_param_compatible(rng):
+    """UpsampleConv2x == nearest_up + nn.Conv (fp-reassociation tolerance)
+    and its param tree matches nn.Conv's, so checkpoints/porters are
+    unaffected by the fused rewrite."""
+    import flax.linen as nn
+
+    from onedc_tpu.nn.blocks import UpsampleConv2x, upsample_nearest_2x
+
+    ci, co = 16, 12
+    x = jnp.asarray(rng.normal(size=(2, 7, 5, ci)).astype(np.float32))
+    fused = UpsampleConv2x(co)
+    params = jax.jit(fused.init)(jax.random.PRNGKey(0), x)
+
+    ref_conv = nn.Conv(co, (3, 3), padding=1)
+    ref_params = jax.jit(ref_conv.init)(jax.random.PRNGKey(1),
+                                        upsample_nearest_2x(x))
+    assert (jax.tree_util.tree_map(jnp.shape, params)
+            == jax.tree_util.tree_map(jnp.shape, ref_params))
+
+    got = jax.jit(fused.apply)(params, x)
+    want = jax.jit(lambda p, x: ref_conv.apply(
+        p, upsample_nearest_2x(x)))(params, x)
+    assert got.shape == (2, 14, 10, co)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # no-bias variant (TinyVAE decoder stage convs)
+    fused_nb = UpsampleConv2x(co, use_bias=False)
+    p_nb = jax.jit(fused_nb.init)(jax.random.PRNGKey(2), x)
+    assert "bias" not in p_nb["params"]
+    got_nb = jax.jit(fused_nb.apply)(p_nb, x)
+    assert got_nb.shape == (2, 14, 10, co)
