@@ -45,10 +45,10 @@ class Codeformer(nn.Module):
         # conv-MLP head (ref :494-502); GroupNorm(16)
         h = nn.Conv(c * 4, (1, 1), name="head_0")(h)
         h = GroupNorm(16, 1e-5, name="head_norm0")(h)
-        h = jax.nn.gelu(h)
+        h = jax.nn.gelu(h, approximate=False)  # exact erf, like torch nn.GELU
         h = nn.Conv(c, (1, 1), name="head_3")(h)
         h = GroupNorm(16, 1e-5, name="head_norm1")(h)
-        h = jax.nn.gelu(h)
+        h = jax.nn.gelu(h, approximate=False)  # exact erf, like torch nn.GELU
         logits = nn.Conv(self.codebook_size, (1, 1), name="head_out")(h)
         probs = jax.nn.softmax(logits, axis=-1)
         return logits, probs

@@ -16,6 +16,7 @@ mechanical.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import flax.linen as nn
@@ -68,7 +69,9 @@ class UpsampleConv2x(nn.Module):
     Same param tree as ``nn.Conv`` (``kernel`` (3,3,Ci,Co) + ``bias``),
     so torch->jax porters and existing checkpoints are unaffected; same
     math up to fp reassociation. Set ``ONEDC_UPSAMPLE_CONV=0`` to fall
-    back to the materialized-upsample form.
+    back to the materialized-upsample form — the env var is read at
+    TRACE time, so it must be set before the module is first jitted in
+    the process; flipping it later has no effect on compiled programs.
     """
 
     features: int
@@ -76,14 +79,15 @@ class UpsampleConv2x(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        import os
-
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, x.shape[-1], self.features))
         bias = (self.param("bias", nn.initializers.zeros,
                            (self.features,)) if self.use_bias else None)
-        # match nn.Conv(dtype=None) promotion semantics
+        # match nn.Conv(dtype=None) promotion semantics: inputs, kernel
+        # AND bias promote jointly
         dt = jnp.promote_types(x.dtype, kernel.dtype)
+        if bias is not None:
+            dt = jnp.promote_types(dt, bias.dtype)
         x = x.astype(dt)
         kernel = kernel.astype(dt)
         bias = None if bias is None else bias.astype(dt)

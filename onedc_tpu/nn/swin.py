@@ -131,7 +131,7 @@ class SwinBlock(nn.Module):
         x = x + h
         h = nn.LayerNorm(name="norm_mlp")(x)
         h = nn.Dense(self.mlp_dim, name="mlp_0")(h)
-        h = jax.nn.gelu(h)
+        h = jax.nn.gelu(h, approximate=False)  # exact erf, like torch nn.GELU
         h = nn.Dense(self.dim, name="mlp_2")(h)
         return x + h
 

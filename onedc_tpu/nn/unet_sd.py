@@ -72,7 +72,10 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.dim_out * 2, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * jax.nn.gelu(gate)
+        # torch F.gelu defaults to the exact erf form; jax.nn.gelu to the
+        # tanh approximation (~7e-4 abs divergence, caught by the UNet
+        # value oracle) — match the reference exactly
+        return h * jax.nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):

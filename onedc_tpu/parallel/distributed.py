@@ -47,3 +47,17 @@ def process_allgather(x):
     """Gather per-host values to every host (eval metric reduction)."""
     from jax.experimental import multihost_utils
     return multihost_utils.process_allgather(x)
+
+
+def reduce_mean_across_hosts(metrics: dict) -> dict:
+    """Mean-reduce a {name: scalar} dict across hosts (the reference's
+    accelerator.reduce on the eval AvgDict, train_sd15_codec_stage1.py:
+    231-258). Single-process: identity, no collective issued."""
+    if jax.process_count() == 1 or not metrics:
+        return metrics
+    import numpy as np
+    keys = sorted(metrics)
+    vals = np.asarray([float(metrics[k]) for k in keys], np.float64)
+    gathered = process_allgather(vals)  # (n_processes, n_keys)
+    mean = np.mean(np.asarray(gathered), axis=0)
+    return {k: float(v) for k, v in zip(keys, mean)}

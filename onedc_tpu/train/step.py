@@ -88,10 +88,62 @@ def create_train_state(model, params, lr: float = 5e-5,
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
+def grad_accum_scan(grad_fn, params, inputs: Tuple, rng, accum: int,
+                    has_extra_aux: bool = False):
+    """Mean-accumulate ``grad_fn`` over ``accum`` micro-batches via scan.
+
+    ``grad_fn(params, *micro_inputs, key) -> ((loss, aux), grads)`` where
+    ``aux`` is a scalar-metrics pytree, or ``(metrics, extra)`` when
+    ``has_extra_aux`` (the extra — e.g. detached latents — is stacked
+    along a new leading axis and reshaped back to the full batch).
+
+    Every input's leading dim must be divisible by ``accum``; micro-batch
+    i uses ``fold_in(rng, i)`` so the noise stream matches ``accum``
+    independent micro-steps. Returns (grads_mean, metrics_mean, extra).
+    Peak memory: one micro forward+backward + one grads-sized accumulator.
+    """
+    b = inputs[0].shape[0]
+    if b % accum:
+        raise ValueError(f"batch {b} not divisible by grad_accum {accum}")
+    micro = tuple(x.reshape(accum, b // accum, *x.shape[1:])
+                  for x in inputs)
+    keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+        jnp.arange(accum))
+
+    def body(carry, xs):
+        g_acc, m_acc = carry
+        *args, key = xs
+        (_, aux), g = grad_fn(params, *args, key)
+        metrics, extra = aux if has_extra_aux else (aux, None)
+        g_acc = jax.tree.map(jnp.add, g_acc, g)
+        m_acc = jax.tree.map(jnp.add, m_acc, metrics)
+        return (g_acc, m_acc), extra
+
+    zeros_g = jax.tree.map(
+        lambda p: jnp.zeros(p.shape, jnp.promote_types(p.dtype,
+                                                       jnp.float32)),
+        params)
+    aux_shape = jax.eval_shape(
+        lambda: grad_fn(params, *(m[0] for m in micro), keys[0])[0][1])
+    m_shape = aux_shape[0] if has_extra_aux else aux_shape
+    zeros_m = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m_shape)
+    (g_sum, m_sum), extra = jax.lax.scan(body, (zeros_g, zeros_m),
+                                         (*micro, keys))
+    inv = 1.0 / accum
+    grads = jax.tree.map(lambda p, g: (g * inv).astype(p.dtype),
+                         params, g_sum)
+    metrics = jax.tree.map(lambda m: m * inv, m_sum)
+    if extra is not None:
+        extra = jax.tree.map(
+            lambda x: x.reshape(b, *x.shape[2:]), extra)
+    return grads, metrics, extra
+
+
 def make_train_step(model, loss: Optional[RDLoss] = None,
                     remat: bool = False,
                     codeformer_loss_weight: float = 1e-3,
-                    codeformer_mse_weight: float = 1e-2) -> Callable:
+                    codeformer_mse_weight: float = 1e-2,
+                    grad_accum: int = 1) -> Callable:
     """Returns step(state, batch, rng) -> (state, metrics). Jittable;
     shard batch over the mesh data axis for DP.
 
@@ -100,6 +152,15 @@ def make_train_step(model, loss: Optional[RDLoss] = None,
     gradient-checkpointing equivalent (model_..._stage1.py:98-100),
     required to fit full-size 512px training in v5e HBM.
 
+    ``grad_accum > 1``: the batch's leading dim is split into that many
+    micro-batches and gradients are mean-accumulated over a ``lax.scan``
+    before ONE optimizer update — realizing the reference's effective
+    batch (8/GPU, configs stage1 yaml:48-67) on a single chip whose HBM
+    only fits the micro-batch. Each micro-batch folds its scan index into
+    the noise rng so the noise stream matches what ``grad_accum`` equal
+    independent micro-steps would draw. Peak memory is one micro-batch
+    forward+backward plus a grads-sized accumulator.
+
     When the model runs with ``use_codeformer`` the semantic-distillation
     terms are added with the reference weights
     (train_sd15_codec_stage1.py:297-307; config: codeformer_loss_weight
@@ -107,6 +168,8 @@ def make_train_step(model, loss: Optional[RDLoss] = None,
     """
     if loss is None:
         loss = RDLoss()
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
 
     apply_fn = model.apply
     if remat:
@@ -118,7 +181,7 @@ def make_train_step(model, loss: Optional[RDLoss] = None,
     def train_step(state: TrainState, batch: Dict[str, Any], rng):
         image = batch["image"]
 
-        def loss_fn(params):
+        def loss_fn(params, image, rng):
             if remat:
                 enc_dict, pred = apply_fn(params, image, rng)
             else:
@@ -140,8 +203,13 @@ def make_train_step(model, loss: Optional[RDLoss] = None,
                 ld["total_loss"] = total
             return total, ld
 
-        (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if grad_accum == 1:
+            (_, metrics), grads = grad_fn(state.params, image, rng)
+        else:
+            grads, metrics, _ = grad_accum_scan(
+                grad_fn, state.params, (image,), rng, grad_accum)
+
         new_state = state.apply_gradients(grads=grads)
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics

@@ -145,13 +145,15 @@ class Trainer:
             lmbda=lmbda, lmbda_schedule=dict(sched),
             pix_loss_type=cfg.get("pix_loss_type", "l1"),
             lpips_fn=lpips_fn)
+        self.grad_accum = int(cfg.get("grad_accum", 1))
         self.step_fn = jax.jit(make_train_step(
             self.model, self.loss,
             remat=bool(cfg.get("gradient_checkpointing", True)),
             codeformer_loss_weight=float(
                 cfg.get("codeformer_loss_weight", 1e-3)),
             codeformer_mse_weight=float(
-                cfg.get("codeformer_mse_weight", 1e-2))))
+                cfg.get("codeformer_mse_weight", 1e-2)),
+            grad_accum=self.grad_accum))
 
         # data
         self.batch_size = int(cfg.get("batch_size", 8))
@@ -209,7 +211,8 @@ class Trainer:
         The reduced batch is rounded up to a multiple of the data-axis
         size so the sharded leading dim always divides the mesh."""
         res, scale = self.crop.pick(step)
-        n_data = self.mesh.shape["data"]
+        # each micro-batch's leading dim must divide the mesh data axis
+        n_data = self.mesh.shape["data"] * self.grad_accum
         bs = max(1, int(round(self.batch_size * scale)))
         bs = max(n_data, (bs // n_data) * n_data)
         rng = np.random.default_rng(step)
@@ -226,7 +229,7 @@ class Trainer:
 
     # -- eval epoch (ref :220-266) -------------------------------------------
 
-    def eval_one_epoch(self, step: int, max_images: int = 16):
+    def eval_one_epoch(self, step: int, max_images=None):
         """Evaluate the TRAINING objective on the eval set.
 
         Mirrors the reference (train_sd15_codec_stage1.py:220-266): the
@@ -236,9 +239,15 @@ class Trainer:
         objective the trainer optimizes. Codeformer distillation terms are
         included when the model trains them (the reference evals only the
         pixel loss; adding them keeps eval == train objective).
+
+        Consumes the WHOLE eval loader by default (like the reference);
+        cap with ``eval_max_images`` in the config or the ``max_images``
+        arg. Multi-host: per-host means are reduced across processes.
         """
         if self.eval_loader is None:
             return {}
+        if max_images is None:
+            max_images = self.cfg.get("eval_max_images")  # None = all
         avg = AvgDict()
         if not hasattr(self, "_eval_fwd"):
             cf_w = float(self.cfg.get("codeformer_loss_weight", 1e-3))
@@ -258,8 +267,6 @@ class Trainer:
             self._eval_fwd = jax.jit(eval_fwd)
         eval_fwd = self._eval_fwd
         for i, batch in enumerate(self.eval_loader):
-            if i >= max_images:
-                break
             img = jnp.asarray(batch["image"])
             # center-crop to x64 for static shapes
             h, w = img.shape[1] // 64 * 64, img.shape[2] // 64 * 64
@@ -273,7 +280,12 @@ class Trainer:
             if i == 0:
                 self.writer.log_image("eval/recon", np.asarray(pred[0]), step)
                 self.writer.log_image("eval/gt", np.asarray(img[0]), step)
-        means = avg.mean()
+            # break AFTER processing so the capped epoch never fetches an
+            # extra batch (a grain loader fetch can be expensive)
+            if max_images is not None and i + 1 >= max_images:
+                break
+        from ..parallel.distributed import reduce_mean_across_hosts
+        means = reduce_mean_across_hosts(avg.mean())
         self.writer.log_dict(means, step, prefix="eval")
         return means
 

@@ -29,7 +29,12 @@ from ..config import Config
 from ..models.dmd import SDGuidance
 from ..models.onedc import OneDC
 from .losses import RDLoss
-from .step import TrainState, make_masked_optimizer, make_optimizer
+from .step import (
+    TrainState,
+    grad_accum_scan,
+    make_masked_optimizer,
+    make_optimizer,
+)
 
 
 def create_stage2_states(onedc: OneDC, onedc_params,
@@ -60,12 +65,16 @@ def make_generator_step(onedc: OneDC, guidance: SDGuidance,
                         dm_weight: float = 1.0,
                         gen_cls_weight: float = 1e-3,
                         pix_weight: float = 0.625,
-                        remat: bool = False):
+                        remat: bool = False,
+                        grad_accum: int = 1):
     """Returns step(gen_state, guid_params, batch, text, uncond, rng) ->
     (gen_state, metrics, aux) where aux carries detached latents for the
     guidance turn. ``remat`` rematerializes the OneDC forward during
     backward (required to fit the full-size three-UNet plan in one
-    chip's HBM — SURVEY hard part 6)."""
+    chip's HBM — SURVEY hard part 6). ``grad_accum > 1`` splits the batch
+    into micro-batches and mean-accumulates gradients before ONE update
+    (train/step.py:grad_accum_scan); aux latents are re-assembled to the
+    full batch for the guidance turn."""
     if rd_loss is None:
         rd_loss = RDLoss(lmbda=0.0)  # codec frozen: no bpp term (ref :33)
 
@@ -79,10 +88,8 @@ def make_generator_step(onedc: OneDC, guidance: SDGuidance,
 
     def step(gen_state: TrainState, guid_params, batch, text_emb,
              uncond_emb, rng):
-        image = batch["image"]
-        rng_noise, rng_guid = jax.random.split(rng)
-
-        def loss_fn(params):
+        def loss_fn(params, image, text_emb, uncond_emb, key):
+            rng_noise, rng_guid = jax.random.split(key)
             if remat:
                 enc_dict, pred = onedc_apply(params, image, rng_noise)
             else:
@@ -109,8 +116,15 @@ def make_generator_step(onedc: OneDC, guidance: SDGuidance,
             }
             return loss, (metrics, aux)
 
-        (_, (metrics, aux)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(gen_state.params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if grad_accum == 1:
+            (_, (metrics, aux)), grads = grad_fn(
+                gen_state.params, batch["image"], text_emb, uncond_emb, rng)
+        else:
+            grads, metrics, aux = grad_accum_scan(
+                grad_fn, gen_state.params,
+                (batch["image"], text_emb, uncond_emb), rng, grad_accum,
+                has_extra_aux=True)
         gen_state = gen_state.apply_gradients(grads=grads)
         return gen_state, metrics, aux
 
@@ -119,9 +133,11 @@ def make_generator_step(onedc: OneDC, guidance: SDGuidance,
 
 def make_guidance_step(guidance: SDGuidance,
                        guidance_cls_weight: float = 1e-2,
-                       remat: bool = False):
+                       remat: bool = False,
+                       grad_accum: int = 1):
     """Returns step(guid_state, fake_latents, real_latents, text, uncond,
-    rng) -> (guid_state, metrics)."""
+    rng) -> (guid_state, metrics). ``grad_accum``: micro-batch gradient
+    accumulation, as in make_generator_step."""
 
     def guid_apply(p, fl, rl, t, u, t2, rng):
         return guidance.apply(p, fl, rl, t, u, t2, rng,
@@ -133,19 +149,28 @@ def make_guidance_step(guidance: SDGuidance,
 
     def step(guid_state: TrainState, fake_latents, real_latents, text_emb,
              uncond_emb, rng):
-        def loss_fn(params):
-            out = guid_apply(params, fake_latents, real_latents,
-                             text_emb, uncond_emb, text_emb, rng)
+        def loss_fn(params, fl, rl, t, u, key):
+            out = guid_apply(params, fl, rl, t, u, t, key)
             loss = (out["loss_fake_mean"]
                     + guidance_cls_weight * out.get("guidance_cls_loss", 0.0))
-            return loss, out
+            # scalars only: the accumulator sums metric trees across
+            # micro-batches (non-scalars from the forward are dropped
+            # here instead of after the step, same visible result)
+            metrics = {"guid_total": out["loss_fake_mean"],
+                       **{k: v for k, v in out.items() if v.ndim == 0}}
+            return loss, metrics
 
-        (_, out), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(guid_state.params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if grad_accum == 1:
+            (_, metrics), grads = grad_fn(
+                guid_state.params, fake_latents, real_latents, text_emb,
+                uncond_emb, rng)
+        else:
+            grads, metrics, _ = grad_accum_scan(
+                grad_fn, guid_state.params,
+                (fake_latents, real_latents, text_emb, uncond_emb), rng,
+                grad_accum)
         guid_state = guid_state.apply_gradients(grads=grads)
-        metrics = {"guid_total": out["loss_fake_mean"],
-                   **{k: v for k, v in out.items()
-                      if v.ndim == 0}}
         return guid_state, metrics
 
     return step
@@ -226,17 +251,18 @@ class Stage2Trainer:
                     lpips_weight=float(cfg.get("lpips_weight", 1.0)),
                     lmbda=0.0, lpips_fn=lpips_fn)
         remat = bool(cfg.get("gradient_checkpointing", True))
+        self.grad_accum = int(cfg.get("grad_accum", 1))
         self.gen_step = jax.jit(make_generator_step(
             self.onedc, self.guidance, rd,
             dm_weight=float(cfg.get("dm_loss_weight", 1.0)),
             gen_cls_weight=float(cfg.get("gen_cls_loss_weight", 1e-3)),
             pix_weight=float(cfg.get("pix_loss_weight", 0.625)),
-            remat=remat))
+            remat=remat, grad_accum=self.grad_accum))
         self.guid_step = jax.jit(make_guidance_step(
             self.guidance,
             guidance_cls_weight=float(cfg.get("guidance_cls_loss_weight",
                                               1e-2)),
-            remat=remat))
+            remat=remat, grad_accum=self.grad_accum))
 
         self._gen_latents = jax.jit(
             lambda p, img, rng: self.onedc.apply(
@@ -286,7 +312,7 @@ class Stage2Trainer:
         out = tuple(jax.device_put(a, s) for a in arrays)
         return out if len(out) > 1 else out[0]
 
-    def eval_one_epoch(self, step: int, max_images: int = 16):
+    def eval_one_epoch(self, step: int, max_images=None):
         """Pixel-loss eval of the generator turn on the eval set (ref
         train_sd15_codec_stage2.py:242-304: generator forward without
         gradients, pix_loss_func on the recon, AvgDict over the loader,
@@ -296,6 +322,8 @@ class Stage2Trainer:
         forward and are omitted here (documented deviation)."""
         if self.eval_loader is None:
             return {}
+        if max_images is None:  # None = consume the whole eval loader
+            max_images = self.cfg.get("eval_max_images")
         from ..utils.logging import AvgDict
         avg = AvgDict()
         if not hasattr(self, "_eval_fwd"):
@@ -306,8 +334,6 @@ class Stage2Trainer:
                 return ld, pred
             self._eval_fwd = jax.jit(eval_fwd)
         for i, batch in enumerate(self.eval_loader):
-            if i >= max_images:
-                break
             img = jnp.asarray(batch["image"])
             h, w = img.shape[1] // 64 * 64, img.shape[2] // 64 * 64
             ld, pred = self._eval_fwd(self.gen_state.params, img[:, :h, :w])
@@ -317,7 +343,12 @@ class Stage2Trainer:
                                       step)
                 self.writer.log_image("eval/gt", np.asarray(img[0, :h, :w]),
                                       step)
-        m = avg.mean()
+            # break AFTER processing: the capped epoch must not fetch an
+            # extra batch (a grain loader fetch can be expensive)
+            if max_images is not None and i + 1 >= max_images:
+                break
+        from ..parallel.distributed import reduce_mean_across_hosts
+        m = reduce_mean_across_hosts(avg.mean())
         self.writer.log_dict(m, step, prefix="eval2")
         self.log.info("eval step %d: %s",
                       step, {k: round(v, 5) for k, v in m.items()})
@@ -337,7 +368,7 @@ class Stage2Trainer:
                 batch = next(self.train_iter)
                 imgs_np, captions = self.round_batch(
                     np.asarray(batch["image"]), list(batch["caption"]),
-                    n_data)
+                    n_data * self.grad_accum)
                 bs = len(imgs_np)
                 ids = self.text.tokenize(captions)
                 text_np = np.asarray(self.text.encode(ids))
