@@ -64,8 +64,49 @@ def _flagship():
 
 
 def stage_lambda():
+    """Headline: lambda-family full decode on CALIBRATED bitstreams.
+
+    Random-init weights emit ~9.5 bpp streams (mostly bypass escapes) —
+    ~100x the released lambda-family's 0.02-0.11 bpp band — so the host
+    rANS is timed on an unrealistic symbol volume (VERDICT r3 weak item
+    1). calibrate_stream_params shrinks the y-path output heads until
+    measured bpp lands in the realistic band; the uncalibrated number is
+    kept as a secondary key so the old conservative measurement stays
+    visible."""
+    import jax.numpy as jnp
+
+    from onedc_tpu.models.onedc import OneDCRuntime
+    from onedc_tpu.utils.calibrate import (
+        calibrate_stream_params,
+        pick_stream_scale,
+    )
+
     model, params = _flagship()
-    return bench_lambda_decode(model, params)
+    rt = OneDCRuntime(model, params)
+    rt.update(force=True)
+
+    probe = jax.random.uniform(jax.random.PRNGKey(11), (1, SIZE, SIZE, 3),
+                               minval=-1, maxval=1)
+
+    def bpp_at(s):
+        rt.set_params(calibrate_stream_params(params, s))
+        _, b = rt.encode(probe)
+        return b["bpp_y"]
+
+    scale, bpp = pick_stream_scale(bpp_at)
+    rt.set_params(calibrate_stream_params(params, scale))
+    res = bench_lambda_decode(rt)
+    res["lambda_calib_scale"] = scale
+
+    # uncalibrated (random-init ~9.5 bpp) reference numbers on a smaller
+    # stream set: the host-rANS-saturated regime, for cross-round A/Bs
+    # against rounds 1-3
+    rt.set_params(params)
+    uncal = bench_lambda_decode(rt, n_streams=16, n_single=2)
+    res["lambda_uncalib_batch_decodes_per_sec"] = \
+        uncal["lambda_batch_decodes_per_sec"]
+    res["lambda_uncalib_stream_bpp_mean"] = uncal["lambda_stream_bpp_mean"]
+    return res
 
 
 def stage_zonly():
@@ -192,6 +233,16 @@ def main():
     lam_batch = extra.get("lambda_batch_decodes_per_sec")
     headline = (lam_batch if lam_batch is not None
                 else extra.get("zonly_decodes_per_sec", 0.0))
+    # probe-normalized headline (VERDICT r3 item 6): decodes/s per
+    # measured chip TF/s and per GB/s, so cross-round comparisons survive
+    # a drifting/throttled tunnel chip
+    tf = extra.get("chip_bf16_matmul_tf_per_s")
+    hbm = extra.get("chip_hbm_gb_per_s")
+    if headline and tf:
+        extra["value_per_probe_tf"] = round(headline / tf, 5)
+    if headline and hbm:
+        extra["value_per_probe_hbm_gbps"] = round(headline / hbm, 5)
+
     metric = (f"{SIZE}x{SIZE} lambda-family full decodes/sec/chip "
               f"(bf16, bitstream->image, pipelined batch)")
     print(json.dumps({
@@ -284,23 +335,15 @@ def bench_tinyvae():
     return _bench_batched_z(model, to_bf16(params))
 
 
-def bench_lambda_decode(model, params, n_streams: int = 48,
-                        n_single: int = 8):
+def bench_lambda_decode(rt, n_streams: int = 48, n_single: int = 8):
     """Full lambda-family decode: bitstream -> image, timing the host rANS
     + 4 prior round trips + device NN (VERDICT round-1 weak item 2).
 
     The batched number is STEADY-STATE serving throughput: 48 streams
-    through the depth-2 software pipeline (6 chunks of 8 — enough to
-    amortize pipeline fill/drain; 16 streams under-reports by ~15%).
-    Streams come from a random-init model; mean bpp is reported so the
-    symbol load behind the host-rANS cost is visible (VERDICT round-2
-    weak item 5)."""
+    through the software pipeline (chunks sized to amortize pipeline
+    fill/drain; 16 streams under-reports by ~15%). Mean bpp is reported
+    so the symbol load behind the host-rANS cost is visible."""
     import numpy as np
-
-    from onedc_tpu.models.onedc import OneDCRuntime
-
-    rt = OneDCRuntime(model, params)
-    rt.update(force=True)
 
     key = jax.random.PRNGKey(7)
     imgs = [jax.random.uniform(jax.random.fold_in(key, i),
@@ -332,12 +375,55 @@ def bench_lambda_decode(model, params, n_streams: int = 48,
     jax.block_until_ready(outs[0])
     t_batch = (time.perf_counter() - t0) / n_streams
 
-    return {
+    res = {
         "lambda_decodes_per_sec": round(1.0 / t_single, 3),
         "lambda_batch_decodes_per_sec": round(1.0 / t_batch, 3),
         "lambda_batch_n_streams": n_streams,
         "lambda_stream_bpp_mean": round(float(np.mean(bpps)), 4),
         "lambda_batch_encodes_per_sec": round(enc_per_sec, 3),
+    }
+    res.update(_lambda_device_floor(rt))
+    return res
+
+
+def _lambda_device_floor(rt, batch: int = 8, reps: int = 4):
+    """Pure device-work floor of the pipelined chunk (begin + 4 updates +
+    x0 + VAE at B=batch, synthetic inputs, programs already compiled by
+    the main run): the ceiling the host pipeline is hiding toward, and
+    the per-stage split the next optimization round needs. Exposure =
+    1/throughput - floor."""
+    crt = rt._codec_rt
+    zh = zw = SIZE // 64
+
+    def timeit(fn, *args):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps, out
+
+    zi = jax.random.randint(jax.random.PRNGKey(5), (batch, zh, zw), 0, 16384)
+    t_begin, st = timeit(lambda: crt._begin(crt.params, zi))
+    yqr = jnp.zeros(st["indexes_r"].shape, jnp.int16)
+    t_up = 0.0
+    nxt = {"means": st["means"], "y_hat": st["y_hat"]}
+    for s in range(4):
+        t, nxt = timeit(lambda s=s, n=nxt: crt._update[s](
+            crt.params, yqr, n["means"], n["y_hat"], st["common"]))
+        t_up += t
+    t_x0, x0 = timeit(lambda: rt._decode_x0(rt.params, nxt["y_hat"],
+                                            st["z_semantic"]))
+    t_vae, _ = timeit(lambda: rt._decode_vae(rt.params, x0))
+    floor = (t_begin + t_up + t_x0 + t_vae) / batch
+    return {
+        "lambda_device_floor_ms_per_img": round(floor * 1e3, 2),
+        "lambda_device_ceiling_per_sec": round(1.0 / floor, 2),
+        "lambda_stage_ms_begin": round(t_begin * 1e3, 2),
+        "lambda_stage_ms_updates": round(t_up * 1e3, 2),
+        "lambda_stage_ms_x0": round(t_x0 * 1e3, 2),
+        "lambda_stage_ms_vae": round(t_vae * 1e3, 2),
     }
 
 

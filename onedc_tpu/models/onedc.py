@@ -275,6 +275,14 @@ class OneDCRuntime:
     def update(self, force: bool = False):
         self._codec_rt.update(force)
 
+    def set_params(self, params):
+        """Swap weights without re-jitting: the compiled programs take
+        params as an argument, so same-structure/shape/dtype trees reuse
+        every cached executable (bench stream calibration, checkpoint
+        hot-reload)."""
+        self.params = params
+        self._codec_rt.params = {"params": params["params"]["codec"]}
+
     @staticmethod
     def _pad_replicate(image, pad):
         pl, pr, pt, pb = pad
@@ -489,17 +497,10 @@ class OneDCRuntime:
 
     def _decode_bucket_pipelined(self, decs, zh: int, zw: int,
                                  chunk: Optional[int] = None, mesh=None):
-        """Software-pipelined decode over a stream of images.
-
-        The four-part prior's host rANS<->device ping-pong cannot overlap
-        within ONE image (true data dependency, SURVEY section 7.6), and
-        the device queue is a single FIFO — so overlap comes from
-        dispatch ORDER across images: the two big NN stages (x0 = codec
-        finish + UNet, then VAE) of chunk i are enqueued BETWEEN the
-        prior-update programs of chunk i+1. Each host fetch waits only on
-        the small update that precedes the big stage in the queue, so the
-        host runs chunk i+1's rANS while the device chews chunk i's NN
-        (VERDICT round-2 item 1; measured in BENCH_r03 / ROADMAP).
+        """Software-pipelined decode over a stream of images — the
+        schedule lives in ``serving/pipeline.py`` (shared verbatim with
+        the AOT artifact serving path); this binds it to the live
+        runtime's jitted programs and the mesh data-axis sharding.
 
         The prior-loop programs are identical to the serial path; the NN
         body runs as two programs instead of one fused one (x0 crosses
@@ -507,139 +508,22 @@ class OneDCRuntime:
         match the serial path to float epsilon
         (tests/test_onedc.py::test_decode_batch_matches_sequential).
         """
-        from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
+        from ..serving.pipeline import DecodePrograms, pipelined_decode
 
         rt = self._codec_rt
-        if chunk is None:
-            # measured on the v5e tunnel chip at 768px flagship bf16
-            # (round 3): chunk=8 7.94/s > chunk=4 5.48 > chunk=2 4.81 >
-            # chunk=1 4.28; the flat (non-interleaved) schedule at B=8
-            # gives 7.21/s and B=16 OOMs HBM. Larger chunks win because
-            # decode_dev batches well (62 ms/img at B=8 vs 88 at B=1)
-            # and the tunnel's fetch-under-load (~50 ms) amortizes.
-            chunk = int(os.environ.get("ONEDC_PIPELINE_CHUNK", "8"))
-        # in-flight chunk window: with depth>=2, several chunks advance
-        # their four-part prior loops in lockstep, so the index fetch of
-        # one (started with copy_to_host_async right after its update is
-        # dispatched) completes WHILE the host runs the others' rANS —
-        # the single-core host's fetch-wait idle time does real work.
-        # Measured (768px flagship bf16, 48 streams, tunnel chip):
-        # depth=1 6.8-7.9/s, depth=2 9.9-10.7/s, depth=3 10.9-11.0/s.
-        depth = max(1, int(os.environ.get("ONEDC_PIPELINE_DEPTH", "3")))
-        chunks = [decs[i:i + chunk] for i in range(0, len(decs), chunk)]
-        # optional scale-out: each chunk's device batch sharded over the
-        # mesh data axis (images ride separate chips; the host pipeline
-        # schedule is unchanged). Chunks are padded to a shardable batch;
-        # padding rows decode zero symbols and are trimmed at the end.
         sharding, mult = self._batch_sharding(mesh)
+        put = ((lambda a: jax.device_put(a, sharding))
+               if sharding is not None else None)
+        programs = DecodePrograms(
+            begin=lambda zi: rt._begin(rt.params, zi),
+            update=[
+                (lambda yqr, m, yh, c, _s=s: rt._update[_s](
+                    rt.params, yqr, m, yh, c)) for s in range(4)],
+            x0=lambda yh, zs: self._decode_x0(self.params, yh, zs),
+            vae=lambda x0: self._decode_vae(self.params, x0),
+        )
+        return pipelined_decode(
+            programs, rt.make_stream_coders,
+            lambda b: rt.fsq.unpack_indices(b, zh * zw),
+            decs, zh, zw, mult=mult, put=put, chunk=chunk)
 
-        def put(a):
-            return jax.device_put(a, sharding) if sharding is not None else a
-
-        pending: deque = deque()
-        x0s: Dict[int, Any] = {}
-        outs: Dict[int, Any] = {}
-
-        def mk_x0(ci, y_hat, z_sem):
-            def f():
-                x0s[ci] = self._decode_x0(self.params, y_hat, z_sem)
-            return f
-
-        def mk_vae(ci):
-            def f():
-                outs[ci] = self._decode_vae(self.params, x0s.pop(ci))
-            return f
-
-        class _ChunkSM:
-            """Four-part prior loop for one chunk, one step at a time.
-
-            fetch + rANS run as a FUTURE in a worker thread: the index
-            fetch's real cost is waiting for its update program to reach
-            the front of the strict-FIFO device queue (~60 ms behind an
-            interleaved big stage, measured by cProfile round 3) — with
-            one future per in-flight chunk those waits run CONCURRENTLY
-            and the main thread only dispatches device work. The worker
-            decodes the chunk's streams serially (single-core host; the
-            old per-stream pool.map added overhead, not parallelism).
-            """
-
-            def __init__(sm, ci, cd, workers):
-                sm.ci, sm.workers, sm.n = ci, workers, len(cd)
-                z_indices = OneDCRuntime._pad_batch(np.stack([
-                    rt.fsq.unpack_indices(d["bit_stream_z"],
-                                          zh * zw).reshape(zh, zw)
-                    for d in cd]), mult)
-                sm.n_rows = z_indices.shape[0]
-                sm.coders = rt.make_stream_coders(
-                    [d["bit_stream_y"] for d in cd])
-                st = rt._begin(rt.params, put(jnp.asarray(z_indices)))
-                sm.y_hat, sm.means = st["y_hat"], st["means"]
-                sm.common, sm.z_semantic = st["common"], st["z_semantic"]
-                sm.step = 0
-                sm._issue(st["indexes_r"])
-
-            def _issue(sm, idx_dev):
-                idx_dev.copy_to_host_async()
-
-                def work():
-                    idx = np.asarray(idx_dev)
-                    # one native call decodes the whole chunk's streams;
-                    # mesh-padding rows (no coder) get zero symbols
-                    parts = type(sm.coders[0]).decode_streams_with_indexes(
-                        sm.coders,
-                        idx[:sm.n].reshape(sm.n, -1)).reshape(idx[:sm.n].shape)
-                    if sm.n_rows > sm.n:
-                        parts = np.concatenate(
-                            [parts, np.zeros_like(idx[sm.n:],
-                                                  dtype=parts.dtype)])
-                    return parts
-
-                sm.fut = sm.workers.submit(work)
-
-            def ready(sm):
-                return sm.fut.done()
-
-            def advance(sm):
-                """Run one prior step; True while more steps remain."""
-                parts = sm.fut.result()
-                nxt = rt._update[sm.step](rt.params, put(jnp.asarray(parts)),
-                                          sm.means, sm.y_hat, sm.common)
-                sm.y_hat, sm.means = nxt["y_hat"], nxt["means"]
-                sm.step += 1
-                if sm.step < 4:
-                    sm._issue(nxt["indexes_r"])
-                    return True
-                pending.append(mk_x0(sm.ci, sm.y_hat, sm.z_semantic))
-                pending.append(mk_vae(sm.ci))
-                return False
-
-        with ThreadPoolExecutor(max_workers=depth) as workers:
-            todo = deque(enumerate(chunks))
-            live: deque = deque()
-            while todo or live:
-                while todo and len(live) < depth:
-                    live.append(_ChunkSM(*todo.popleft(), workers))
-                # prefer a chunk whose symbols are already decoded; while
-                # none is ready, keep the device fed with a big stage,
-                # then block on the oldest
-                sm = next((s for s in live if s.ready()), None)
-                if sm is None and pending:
-                    pending.popleft()()
-                    sm = next((s for s in live if s.ready()), None)
-                if sm is None:
-                    sm = live[0]
-                live.remove(sm)
-                more = sm.advance()
-                # one big NN stage of an EARLIER chunk rides behind each
-                # small update: the next fetch waits only on the update,
-                # and the workers' rANS overlaps the big stage's execution
-                if pending:
-                    pending.popleft()()
-                if more:
-                    live.append(sm)
-            while pending:
-                pending.popleft()()
-        # trim each chunk's mesh-padding rows before stitching
-        return jnp.concatenate([outs[ci][:len(chunks[ci])]
-                                for ci in range(len(chunks))], axis=0)

@@ -21,16 +21,27 @@ def initialize(coordinator_address: Optional[str] = None,
                process_id: Optional[int] = None) -> None:
     """Wire up multi-host JAX. On TPU pods all arguments are discovered
     from the environment; pass them explicitly for CPU/GPU clusters.
-    Safe to call on a single host (no-op if already initialized)."""
-    if jax.process_count() > 1:
+    Safe to call on a single host (no-op if already initialized).
+
+    NOTE: must run before any other JAX API touches the backend —
+    ``jax.process_count()`` itself would initialize a single-process
+    backend and make the real initialization impossible, so the
+    already-initialized check goes through ``jax.distributed`` state,
+    never through the backend."""
+    if jax.distributed.is_initialized():
         return
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id)
-    except (RuntimeError, ValueError):
-        pass  # single-process / already initialized
+    explicit = (coordinator_address is not None
+                or num_processes is not None or process_id is not None)
+    if not explicit and not any(
+            os.environ.get(k) for k in
+            ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+             "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+             "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE")):
+        return  # single-host run, nothing to wire
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
 
 
 def is_main_process() -> bool:

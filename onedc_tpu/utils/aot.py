@@ -80,3 +80,134 @@ def load_exported(data: bytes):
     """Deserialize an artifact into a jittable callable — usable from a
     process that imports NONE of the model code (only jax + weights)."""
     return jax.jit(jax_export.deserialize(data).call)
+
+
+# ---------------------------------------------------------------------------
+# staged serving bundle: the PIPELINED production path as artifacts
+# ---------------------------------------------------------------------------
+
+def export_serving_bundle(runtime, height: int, width: int, batch: int = 8,
+                          platforms: Optional[Sequence[str]] = None
+                          ) -> dict:
+    """Export the STAGED decode programs the pipelined serving schedule
+    dispatches (serving/pipeline.py): begin, update0..3, x0, vae — plus
+    the fused single-program decode. A serving process pairs these with
+    the host rANS loop (``serving/decoder.py:ServingDecoder``) and runs
+    the full λ decode_batch with no model code. Returns
+    {name: bytes} plus a "meta" dict (shapes + host-loop constants)."""
+    model = runtime.model
+    assert height % 64 == 0 and width % 64 == 0, "export padded sizes"
+    dt = _act_dtype(runtime)
+
+    params_s = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        runtime.params)
+    zi = jax.ShapeDtypeStruct((batch, height // 64, width // 64), jnp.int32)
+
+    begin_fn = jax.jit(lambda p, z: model.apply(
+        p, z, method=model.codec_decompress_begin))
+    st = jax.eval_shape(begin_fn, params_s, zi)
+    # rANS symbols ship to the device as int16 (ops/rans.py decode
+    # outputs; the live jit path traces on that dtype too)
+    yqr = jax.ShapeDtypeStruct(st["indexes_r"].shape, jnp.int16)
+    means = jax.ShapeDtypeStruct(st["means"].shape, st["means"].dtype)
+    yhat = jax.ShapeDtypeStruct(st["y_hat"].shape, st["y_hat"].dtype)
+    common = jax.ShapeDtypeStruct(st["common"].shape, st["common"].dtype)
+    zsem = jax.ShapeDtypeStruct(st["z_semantic"].shape,
+                                st["z_semantic"].dtype)
+
+    arts = {"begin": bytes(
+        jax_export.export(begin_fn, platforms=platforms)(
+            params_s, zi).serialize())}
+    for s in range(4):
+        step_fn = jax.jit(lambda p, yq, m, yh, c, _s=s: model.apply(
+            p, _s, yq, m, yh, c, method=model.codec_decompress_update))
+        arts[f"update{s}"] = bytes(
+            jax_export.export(step_fn, platforms=platforms)(
+                params_s, yqr, means, yhat, common).serialize())
+
+    x0_fn = jax.jit(lambda p, yh, zs: model.apply(
+        p, yh, zs, method=model.decode_device_x0))
+    arts["x0"] = bytes(jax_export.export(x0_fn, platforms=platforms)(
+        params_s, yhat, zsem).serialize())
+    x0_s = jax.eval_shape(x0_fn, params_s, yhat, zsem)
+    vae_fn = jax.jit(lambda p, x: model.apply(
+        p, x, method=model.decode_device_vae))
+    arts["vae"] = bytes(jax_export.export(vae_fn, platforms=platforms)(
+        params_s, jax.ShapeDtypeStruct(x0_s.shape, x0_s.dtype)).serialize())
+    arts["decode"] = export_decode(runtime, height, width, batch,
+                                   platforms)
+
+    arts["meta"] = {
+        "height": height, "width": width, "batch": batch,
+        "ds": runtime.ds,
+        "z_fsq_levels": list(model.z_fsq_levels),
+        "dtype": jnp.dtype(dt).name,
+        "indexes_dtype": jnp.dtype(st["indexes_r"].dtype).name,
+    }
+    return arts
+
+
+def save_bundle(arts: dict, out_dir) -> None:
+    """Write a bundle dict to ``out_dir`` (*.stablehlo + meta.json)."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name, data in arts.items():
+        if name == "meta":
+            with open(os.path.join(out_dir, "meta.json"), "w") as f:
+                json.dump(data, f, indent=1)
+        else:
+            with open(os.path.join(out_dir, f"{name}.stablehlo"),
+                      "wb") as f:
+                f.write(data)
+
+
+def main(argv=None):
+    """CLI: export a serving bundle for a bucket.
+
+    python -m onedc_tpu.utils.aot --config cfg.yaml \\
+        --bucket 768x768x8 --out bundles/768 [--save-weights]
+    """
+    import argparse
+
+    from ..config import load_config
+    from ..eval.inference import build_model, load_params
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--config", default=None, help="model config yaml")
+    p.add_argument("--bucket", required=True,
+                   help="HxWxB serving bucket, e.g. 768x768x8")
+    p.add_argument("--out", required=True, help="bundle output dir")
+    p.add_argument("--save-weights", action="store_true",
+                   help="also write weights.safetensors next to the "
+                        "bundle (flat '/'-keyed, ServingDecoder format)")
+    p.add_argument("--platforms", default=None,
+                   help="comma list, e.g. tpu,cpu (default: current)")
+    args, overrides = p.parse_known_args(argv)
+
+    cfg = load_config(args.config, overrides)
+    h, w, b = (int(t) for t in args.bucket.split("x"))
+    model = build_model(cfg)
+    params = load_params(model, cfg)
+
+    from ..models.onedc import OneDCRuntime
+    dtype = jnp.bfloat16 if cfg.get("use_bf16", True) else None
+    rt = OneDCRuntime(model, params, dtype=dtype)
+    platforms = args.platforms.split(",") if args.platforms else None
+
+    arts = export_serving_bundle(rt, h, w, batch=b, platforms=platforms)
+    save_bundle(arts, args.out)
+    if args.save_weights:
+        import os
+
+        from .checkpoint import save_safetensors
+        save_safetensors(rt.params,
+                         os.path.join(args.out, "weights.safetensors"))
+    names = ", ".join(sorted(k for k in arts if k != "meta"))
+    print(f"bundle written to {args.out}: {names}")
+
+
+if __name__ == "__main__":
+    main()

@@ -57,3 +57,80 @@ def test_export_z_only_round_trip():
     got = fn(rt.params, zi)
     want = rt._decode_z_only(rt.params, zi)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.slow
+def test_serving_bundle_pipelined_round_trip(tmp_path):
+    """VERDICT r3 item 8: the STAGED pipelined programs export as a
+    bundle, and a model-code-free ServingDecoder (artifacts + flat
+    safetensors weights + the host rANS loop) runs the full pipelined
+    lambda decode_batch, matching the live runtime per stream —
+    including a ragged chunk padded up to the exported batch."""
+    from onedc_tpu.serving.decoder import ServingDecoder
+    from onedc_tpu.utils.aot import export_serving_bundle, save_bundle
+    from onedc_tpu.utils.checkpoint import save_safetensors
+
+    model = OneDC(**TINY)
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (1, 64, 64, 3), minval=-1, maxval=1)
+    params = jax.jit(lambda x: model.init({"params": key}, x))(img)
+    rt = OneDCRuntime(model, params)
+    rt.update(force=True)
+
+    bundle_dir = tmp_path / "bundle"
+    arts = export_serving_bundle(rt, 64, 64, batch=2)
+    assert set(arts) >= {"begin", "update0", "update1", "update2",
+                         "update3", "x0", "vae", "decode", "meta"}
+    save_bundle(arts, bundle_dir)
+    save_safetensors(rt.params, bundle_dir / "weights.safetensors")
+
+    # 3 streams -> chunks of 2 + ragged 1 (padded to the exported batch);
+    # odd spatial size exercises the per-stream unpad
+    imgs = [img,
+            jnp.clip(img + 0.1 * jax.random.normal(key, img.shape), -1, 1),
+            img[:, :50, :39, :]]
+    streams = [rt.encode(im)[0] for im in imgs]
+
+    dec = ServingDecoder(str(bundle_dir),
+                         str(bundle_dir / "weights.safetensors"))
+    outs = dec.decode_batch(streams)
+    assert len(outs) == 3
+    for im, s, got in zip(imgs, streams, outs):
+        assert got.shape == im.shape
+        want = rt.decode(stream=s)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-4)
+
+    # size-mismatched stream is rejected, not silently mis-decoded
+    wide = rt.encode(jnp.tile(img, (1, 1, 2, 1)))[0]
+    with pytest.raises(ValueError, match="bucket"):
+        dec.decode_batch([wide])
+
+
+@pytest.mark.slow
+def test_aot_cli_writes_bundle(tmp_path):
+    """python -m onedc_tpu.utils.aot --bucket HxWxB --out DIR writes the
+    full artifact set + meta + weights."""
+    import json
+
+    from onedc_tpu.utils.aot import main
+
+    out = tmp_path / "bundle"
+    overrides = [f"model.{k}={v}" for k, v in TINY.items()
+                 if not isinstance(v, tuple)]
+    # tuple-valued model fields ride as yaml config instead
+    import yaml
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(
+        {"model": {k: list(v) if isinstance(v, tuple) else v
+                   for k, v in TINY.items()},
+         "use_bf16": False}))
+    main(["--config", str(cfg_path), "--bucket", "64x64x1",
+          "--out", str(out), "--save-weights"] + overrides[:0])
+
+    meta = json.loads((out / "meta.json").read_text())
+    assert meta["batch"] == 1 and meta["height"] == 64
+    for name in ("begin", "update0", "update1", "update2", "update3",
+                 "x0", "vae", "decode"):
+        assert (out / f"{name}.stablehlo").stat().st_size > 0
+    assert (out / "weights.safetensors").stat().st_size > 0

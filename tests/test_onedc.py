@@ -113,6 +113,51 @@ def test_decode_batch_multi_chunk_schedule(onedc_setup, monkeypatch):
                                    atol=5e-4)
 
 
+def test_decode_batch_vae_subchunk_schedule(onedc_setup, monkeypatch):
+    """ONEDC_VAE_CHUNK=1 splits the pipelined VAE stage into per-image
+    sub-dispatches (the schedule that lets the prior/UNet chunk grow
+    past the VAE's HBM budget); results must match the serial decode
+    and the parts must reassemble in order."""
+    model, params, img = onedc_setup
+    monkeypatch.setenv("ONEDC_PIPELINE_CHUNK", "3")
+    monkeypatch.setenv("ONEDC_VAE_CHUNK", "1")
+    rt = OneDCRuntime(model, params)
+    rt.update()
+    key = jax.random.PRNGKey(13)
+    imgs = [jnp.clip(img + 0.1 * jax.random.normal(
+        jax.random.fold_in(key, i), img.shape), -1, 1) for i in range(3)]
+    streams = [rt.encode(im)[0] for im in imgs]
+    batched = rt.decode_batch(streams)
+    for s, b in zip(streams, batched):
+        np.testing.assert_allclose(np.asarray(b),
+                                   np.asarray(rt.decode(stream=s)),
+                                   atol=5e-4)
+
+
+def test_calibrate_stream_params(onedc_setup):
+    """calibrate_stream_params shrinks the stream rate monotonically-ish
+    toward the realistic band while the codec remains a working
+    end-to-end coder (bench stream calibration, VERDICT r3 item 2)."""
+    from onedc_tpu.utils.calibrate import calibrate_stream_params
+
+    model, params, img = onedc_setup
+    rt = OneDCRuntime(model, params)
+    rt.update()
+    _, bpp_raw = rt.encode(img)
+
+    rt.set_params(calibrate_stream_params(params, 0.05))
+    stream, bpp_cal = rt.encode(img)
+    assert bpp_cal["bpp_y"] < 0.5 * bpp_raw["bpp_y"]
+    pred = rt.decode(stream=stream)
+    assert pred.shape == img.shape
+    assert np.all(np.isfinite(np.asarray(pred)))
+
+    # scale=1.0 is the identity (same bytes)
+    rt.set_params(calibrate_stream_params(params, 1.0))
+    s_id, b_id = rt.encode(img)
+    assert abs(b_id["bpp_y"] - bpp_raw["bpp_y"]) < 1e-9
+
+
 def test_encode_many_matches_serial(onedc_setup, monkeypatch):
     """encode_many (dispatch-ahead chunked device encode, single-fetch
     host container writing) must produce byte-identical streams and bpp
