@@ -370,10 +370,16 @@ def bench_lambda_decode(rt, n_streams: int = 48, n_single: int = 8):
         jax.block_until_ready(rt.decode(stream=s))
     t_single = (time.perf_counter() - t0) / n_single
 
-    t0 = time.perf_counter()
-    outs = rt.decode_batch(streams)
-    jax.block_until_ready(outs[0])
-    t_batch = (time.perf_counter() - t0) / n_streams
+    # median of 3 reps: the shared tunnel host's load noise is +-10%
+    # run to run; a single rep under- or over-reports steady-state
+    # serving throughput
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = rt.decode_batch(streams)
+        jax.block_until_ready(outs[0])
+        ts.append((time.perf_counter() - t0) / n_streams)
+    t_batch = sorted(ts)[1]
 
     res = {
         "lambda_decodes_per_sec": round(1.0 / t_single, 3),

@@ -32,16 +32,28 @@ def initialize(coordinator_address: Optional[str] = None,
         return
     explicit = (coordinator_address is not None
                 or num_processes is not None or process_id is not None)
-    if not explicit and not any(
+    # TPU_WORKER_HOSTNAMES is set even on single-host TPU VMs — it only
+    # signals a pod slice when it lists MULTIPLE workers
+    multi_tpu = "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if not explicit and not multi_tpu and not any(
             os.environ.get(k) for k in
             ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-             "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+             "MEGASCALE_COORDINATOR_ADDRESS",
              "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE")):
         return  # single-host run, nothing to wire
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id)
+    if explicit:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+        return
+    try:  # env-discovered cluster: degrade to single-process on failure
+        jax.distributed.initialize()
+    except (RuntimeError, ValueError) as e:
+        import logging
+        logging.getLogger("onedc_tpu").warning(
+            "jax.distributed auto-init failed (%s); continuing "
+            "single-process", e)
 
 
 def is_main_process() -> bool:

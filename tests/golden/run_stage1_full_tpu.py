@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--batches", type=str, default="1,2,4,8")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="micro-batch accumulation (batch must divide); "
+                         "realizes the reference's effective batch 8 on "
+                         "one chip, sidestepping the env's B>=4 compile "
+                         "rejection (VERDICT r3 item 5)")
     args = ap.parse_args()
 
     model = OneDC()  # flagship; training runs f32 params like the reference
@@ -45,7 +50,8 @@ def main():
     # lmbda fixed (no ramp) so every step is the same program; LPIPS off
     # (weights not on disk in this image) — the conv stack dominates.
     step_fn = jax.jit(
-        make_train_step(model, RDLoss(lmbda=4.6), remat=True),
+        make_train_step(model, RDLoss(lmbda=4.6), remat=True,
+                        grad_accum=args.grad_accum),
         donate_argnums=(0,))
 
     r = args.res
@@ -67,7 +73,7 @@ def main():
             dt = (time.perf_counter() - t0) / args.reps
             assert np.isfinite(float(met["total_loss"]))
             print(f"B={b}: {dt:.3f} s/step -> {b/dt:.2f} imgs/s/chip "
-                  f"({r}px, Adafactor+remat)")
+                  f"({r}px, Adafactor+remat, accum={args.grad_accum})")
         except Exception as e:  # OOM at some B is itself the datum
             print(f"B={b}: failed ({type(e).__name__}: {str(e)[:120]})")
             break
