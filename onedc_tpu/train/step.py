@@ -171,39 +171,17 @@ def make_train_step(model, loss: Optional[RDLoss] = None,
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
 
-    apply_fn = model.apply
-    if remat:
-        apply_fn = jax.checkpoint(
-            lambda p, img, rng: model.apply(p, img, training=True,
-                                            noise_rng=rng),
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    loss_fn = _make_stage1_loss_fn(model, loss, remat,
+                                   codeformer_loss_weight,
+                                   codeformer_mse_weight)
 
     def train_step(state: TrainState, batch: Dict[str, Any], rng):
         image = batch["image"]
 
-        def loss_fn(params, image, rng):
-            if remat:
-                enc_dict, pred = apply_fn(params, image, rng)
-            else:
-                enc_dict, pred = model.apply(params, image, training=True,
-                                             noise_rng=rng)
-            total, ld = loss(image, pred, enc_dict["bpp"],
-                             step=state.step, training=True)
-            ld["bpp_hard_y"] = enc_dict["bpp_hard_y"]
-            if "code_ce_loss" in enc_dict:
-                ce = enc_dict["code_ce_loss"]
-                mse = enc_dict["code_mse_loss"]
-                cf = ce + mse * codeformer_mse_weight
-                weighted = cf * codeformer_loss_weight
-                total = total + weighted
-                ld["codeformer_ce_loss"] = ce
-                ld["codeformer_mse_loss"] = mse
-                ld["codeformer_loss"] = cf
-                ld["weighted_codeformer_loss"] = weighted
-                ld["total_loss"] = total
-            return total, ld
+        def bound_loss(params, image, rng):
+            return loss_fn(params, state.step, image, rng)
 
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        grad_fn = jax.value_and_grad(bound_loss, has_aux=True)
         if grad_accum == 1:
             (_, metrics), grads = grad_fn(state.params, image, rng)
         else:
@@ -215,3 +193,115 @@ def make_train_step(model, loss: Optional[RDLoss] = None,
         return new_state, metrics
 
     return train_step
+
+
+def _make_stage1_loss_fn(model, loss, remat: bool,
+                         codeformer_loss_weight: float,
+                         codeformer_mse_weight: float):
+    """loss_fn(params, opt_step, image, rng) -> (total, scalar metrics),
+    shared by the fused step and the host-unrolled accumulation step."""
+    apply_fn = model.apply
+    if remat:
+        apply_fn = jax.checkpoint(
+            lambda p, img, rng: model.apply(p, img, training=True,
+                                            noise_rng=rng),
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+
+    def loss_fn(params, opt_step, image, rng):
+        if remat:
+            enc_dict, pred = apply_fn(params, image, rng)
+        else:
+            enc_dict, pred = model.apply(params, image, training=True,
+                                         noise_rng=rng)
+        total, ld = loss(image, pred, enc_dict["bpp"],
+                         step=opt_step, training=True)
+        ld["bpp_hard_y"] = enc_dict["bpp_hard_y"]
+        if "code_ce_loss" in enc_dict:
+            ce = enc_dict["code_ce_loss"]
+            mse = enc_dict["code_mse_loss"]
+            cf = ce + mse * codeformer_mse_weight
+            weighted = cf * codeformer_loss_weight
+            total = total + weighted
+            ld["codeformer_ce_loss"] = ce
+            ld["codeformer_mse_loss"] = mse
+            ld["codeformer_loss"] = cf
+            ld["weighted_codeformer_loss"] = weighted
+            ld["total_loss"] = total
+        return total, ld
+
+    return loss_fn
+
+
+def make_unrolled_accum_step(model, loss: Optional[RDLoss] = None,
+                             remat: bool = False,
+                             codeformer_loss_weight: float = 1e-3,
+                             codeformer_mse_weight: float = 1e-2,
+                             grad_accum: int = 2) -> Callable:
+    """Host-unrolled gradient accumulation: same math as
+    ``make_train_step(grad_accum=N)`` (fold_in micro keys, mean grads,
+    mean scalar metrics) but as a SEQUENCE of jitted programs — one
+    micro-batch grad program, a donated-accumulator add, one apply —
+    instead of one scan-fused program.
+
+    Why it exists: every compiled program stays micro-batch sized. The
+    scan-fused full-size (1.34B-param, remat) step is rejected outright
+    by this image's remote compile service (HTTP 500 at any accum
+    count, same class as the round-3 flat-B>=4 rejection — ROADMAP);
+    the B=1 grad program compiles fine, so unrolling on the host is the
+    way to realize the reference's effective batch 8
+    (configs stage1 yaml:48-67) on one chip here. The cost is
+    ``grad_accum`` extra grads-sized HBM read/write passes for the
+    accumulation (~54 ms per pass for 1.34B f32 grads at 200 GB/s) —
+    small next to full-size micro-step time.
+
+    Returns step(state, batch, rng) -> (state, metrics). NOT jittable
+    as a whole; do not wrap in jax.jit.
+    """
+    if loss is None:
+        loss = RDLoss()
+    if grad_accum < 2:
+        raise ValueError("unrolled accumulation needs grad_accum >= 2")
+    loss_fn = _make_stage1_loss_fn(model, loss, remat,
+                                   codeformer_loss_weight,
+                                   codeformer_mse_weight)
+    grad_prog = jax.jit(
+        lambda p, opt_step, image, rng: jax.value_and_grad(
+            loss_fn, has_aux=True)(p, opt_step, image, rng))
+    cast_prog = jax.jit(lambda g: jax.tree.map(
+        lambda x: x.astype(jnp.promote_types(x.dtype, jnp.float32)), g))
+    # donate the running sum: the accumulator is updated in place, no
+    # second grads-sized buffer
+    acc_prog = jax.jit(lambda a, g: jax.tree.map(
+        lambda x, y: x + y.astype(x.dtype), a, g), donate_argnums=(0,))
+
+    def finish(state, g_sum, m_sum):
+        inv = 1.0 / grad_accum
+        grads = jax.tree.map(lambda p, g: (g * inv).astype(p.dtype),
+                             state.params, g_sum)
+        metrics = jax.tree.map(lambda m: m * inv, m_sum)
+        new_state = state.apply_gradients(grads=grads)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    fin_prog = jax.jit(finish, donate_argnums=(1,))
+
+    def step(state: TrainState, batch: Dict[str, Any], rng):
+        image = batch["image"]
+        b = image.shape[0]
+        if b % grad_accum:
+            raise ValueError(f"batch {b} not divisible by "
+                             f"grad_accum {grad_accum}")
+        micro = b // grad_accum
+        g_sum = m_sum = None
+        for i in range(grad_accum):
+            key = jax.random.fold_in(rng, i)
+            (_, m), g = grad_prog(state.params, state.step,
+                                  image[i * micro:(i + 1) * micro], key)
+            if g_sum is None:
+                g_sum, m_sum = cast_prog(g), m
+            else:
+                g_sum = acc_prog(g_sum, g)
+                m_sum = jax.tree.map(jnp.add, m_sum, m)
+        return fin_prog(state, g_sum, m_sum)
+
+    return step

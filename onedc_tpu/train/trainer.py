@@ -146,14 +146,27 @@ class Trainer:
             pix_loss_type=cfg.get("pix_loss_type", "l1"),
             lpips_fn=lpips_fn)
         self.grad_accum = int(cfg.get("grad_accum", 1))
-        self.step_fn = jax.jit(make_train_step(
-            self.model, self.loss,
+        step_kwargs = dict(
             remat=bool(cfg.get("gradient_checkpointing", True)),
             codeformer_loss_weight=float(
                 cfg.get("codeformer_loss_weight", 1e-3)),
             codeformer_mse_weight=float(
-                cfg.get("codeformer_mse_weight", 1e-2)),
-            grad_accum=self.grad_accum))
+                cfg.get("codeformer_mse_weight", 1e-2)))
+        # grad_accum_mode "unrolled": jitted micro-grad + accumulate +
+        # apply programs instead of one scan-fused step — identical math
+        # (tests/test_trainer.py), needed where the fused full-size
+        # program exceeds the compile service's budget (step.py:
+        # make_unrolled_accum_step)
+        if (self.grad_accum > 1
+                and cfg.get("grad_accum_mode", "scan") == "unrolled"):
+            from .step import make_unrolled_accum_step
+            self.step_fn = make_unrolled_accum_step(
+                self.model, self.loss, grad_accum=self.grad_accum,
+                **step_kwargs)
+        else:
+            self.step_fn = jax.jit(make_train_step(
+                self.model, self.loss, grad_accum=self.grad_accum,
+                **step_kwargs))
 
         # data
         self.batch_size = int(cfg.get("batch_size", 8))

@@ -175,6 +175,71 @@ def test_grad_accum_scan_exact():
         grad_accum_scan(grad_fn, params, (x,), rng, accum=3)
 
 
+def test_unrolled_accum_exact():
+    """make_unrolled_accum_step (jitted micro-grad + donated accumulate
+    + apply — the path for models whose scan-fused step exceeds the
+    compile budget) == an explicit python loop over fold_in micro-keys
+    with f32-mean grads and mean metrics, then one apply_gradients.
+
+    That explicit loop is THE definition of grad accumulation here;
+    test_grad_accum_scan_exact proves the scan-fused path equals the
+    same loop, closing the unrolled==fused chain. (Comparing unrolled
+    directly against the scan-fused step is flaky on the CPU oracle:
+    XLA:CPU compiles conv bodies inside lax.scan at slightly reduced
+    precision — ROADMAP "negative results" — and one Adam step
+    amplifies that near-zero grad noise to full-lr param diffs.)"""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from onedc_tpu.models.onedc import OneDC
+    from onedc_tpu.train.losses import RDLoss
+    from onedc_tpu.train.step import (
+        _make_stage1_loss_fn,
+        create_train_state,
+        make_unrolled_accum_step,
+    )
+
+    model = OneDC(**TINY_MODEL)
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (4, 64, 64, 3),
+                             minval=-1, maxval=1)
+    params = jax.jit(lambda x: model.init({"params": key}, x))(img[:1])
+    loss = RDLoss(lmbda=1.0, lpips_weight=0.0)
+
+    s1 = create_train_state(model, params, warmup_steps=0)
+    s2 = create_train_state(model, params, warmup_steps=0)
+    rng = jax.random.PRNGKey(7)
+    unrolled = make_unrolled_accum_step(model, loss, grad_accum=2)
+    s2, m2 = unrolled(s2, {"image": img}, rng)
+
+    loss_fn = _make_stage1_loss_fn(model, loss, False, 1e-3, 1e-2)
+    grad_fn = jax.jit(lambda p, st, im, k: jax.value_and_grad(
+        loss_fn, has_aux=True)(p, st, im, k))
+    gs, ms = [], []
+    for i in range(2):
+        k = jax.random.fold_in(rng, i)
+        (_, m), g = grad_fn(s1.params, s1.step, img[i * 2:(i + 1) * 2], k)
+        gs.append(jax.tree.map(
+            lambda x: x.astype(jnp.promote_types(x.dtype, jnp.float32)),
+            g))
+        ms.append(m)
+    grads = jax.tree.map(
+        lambda p, a, b: ((a + b) * 0.5).astype(p.dtype), s1.params, *gs)
+    m1 = jax.tree.map(lambda a, b: (a + b) * 0.5, *ms)
+    s1 = s1.apply_gradients(grads=grads)
+    m1["grad_norm"] = optax.global_norm(grads)
+
+    for k in m1:
+        np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]),
+                                   rtol=2e-6, atol=1e-7, err_msg=k)
+    flat1 = jax.tree_util.tree_leaves(s1.params)
+    flat2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=1e-7)
+
+
 @pytest.mark.slow
 def test_trainer_grad_accum_step(tmp_path):
     """Stage-1 step with grad_accum=2: runs, updates params, finite
