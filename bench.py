@@ -243,6 +243,10 @@ def main():
     if headline and hbm:
         extra["value_per_probe_hbm_gbps"] = round(headline / hbm, 5)
 
+    floor_ms = extra.get("lambda_device_floor_ms_per_img")
+    if headline and tf and hbm and floor_ms:
+        extra.update(projection_keys(headline, tf, hbm, floor_ms))
+
     metric = (f"{SIZE}x{SIZE} lambda-family full decodes/sec/chip "
               f"(bf16, bitstream->image, pipelined batch)")
     print(json.dumps({
@@ -252,6 +256,43 @@ def main():
         "vs_baseline": round(headline / BASELINE_DECODES_PER_SEC, 3),
         **extra,
     }))
+
+
+REF_TF, REF_HBM = 100.0, 235.0     # healthiest measured tunnel session
+SPEC_TF, SPEC_HBM = 197.0, 819.0   # TPU v5e datasheet
+
+
+def projection_keys(headline: float, tf: float, hbm: float,
+                    floor_ms: float) -> dict:
+    """Probe-scaled throughput projections (VERDICT r3 next-step 1's
+    alternate 'done' criterion: quantify how much of the gap to 20/s is
+    the measuring session's degraded chip).
+
+    Model: the decode stages are measured COMPUTE-bound on degraded
+    sessions (profile_lambda_decode.py: UNet at ~104% of the
+    same-session chained-matmul probe, VAE at ~150% — convs beat the
+    probe), so the device floor scales with the probe ratio; the
+    host/pipeline exposure (1/throughput - floor) is held CONSTANT,
+    which is conservative: on a local chip the tunnel-RPC share of the
+    exposure also disappears. Two reference points: the healthiest
+    session this code has measured (rounds 2-3: 88-107 TF/s,
+    227-235 GB/s) and the v5e datasheet (the tunnel chip has never
+    probed above ~54% of spec MXU, so the 20/s target's natural
+    habitat — a non-throttled v5e — is only reachable by projection).
+    Each projection takes the LESS optimistic of the MXU and HBM
+    scalings."""
+    t_meas = 1e3 / headline                      # ms/img incl. host
+    exposure = max(t_meas - floor_ms, 0.0)
+    scale = max(tf / REF_TF, hbm / REF_HBM)
+    spec_scale = max(tf / SPEC_TF, hbm / SPEC_HBM)
+    return {
+        "lambda_projected_healthy_decodes_per_sec": round(
+            1e3 / (floor_ms * scale + exposure), 2),
+        "lambda_projected_spec_v5e_decodes_per_sec": round(
+            1e3 / (floor_ms * spec_scale + exposure), 2),
+        "lambda_projection_ref_probes": [REF_TF, REF_HBM],
+        "lambda_pipeline_exposure_ms_per_img": round(exposure, 2),
+    }
 
 
 def bench_chip_ceiling():
