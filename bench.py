@@ -185,6 +185,57 @@ def stage_lambda_tinyvae():
     return {"lambda_tinyvae_batch_decodes_per_sec": round(1.0 / t_batch, 3)}
 
 
+def stage_lambda_w8a8():
+    """Opt-in w8a8 serving decode (nn/quant.py): the UNet/VAE convs run
+    int8 on the MXU (measured 1.24-1.44x the bf16 rate at these conv
+    shapes — tests/golden/probe_int8.py). Same calibrated bitstreams
+    and pipelined path as the headline stage; reports throughput, its
+    own device floor, and a PSNR-vs-exact-bf16 proxy. A lossy serving
+    MODE like TinyVAE — never the headline (the real-weight quality
+    gate, BASELINE.md:29-31, is still open)."""
+    import numpy as np
+
+    from onedc_tpu.models.onedc import OneDCRuntime
+    from onedc_tpu.utils.calibrate import (
+        calibrate_stream_params,
+        pick_stream_scale,
+    )
+
+    model, params = _flagship()
+    rtq = OneDCRuntime(model, params, quant="w8a8")
+    rtq.update(force=True)
+
+    probe = jax.random.uniform(jax.random.PRNGKey(11), (1, SIZE, SIZE, 3),
+                               minval=-1, maxval=1)
+
+    def bpp_at(s):
+        # encode is exact in w8a8 mode, so calibrating through the
+        # quantized runtime picks the same scale as the headline stage
+        rtq.set_params(calibrate_stream_params(params, s))
+        _, b = rtq.encode(probe)
+        return b["bpp_y"]
+
+    scale, _ = pick_stream_scale(bpp_at)
+    cal = calibrate_stream_params(params, scale)
+    rtq.set_params(cal)
+    res = bench_lambda_decode(rtq)
+    out = {k.replace("lambda_", "lambda_w8a8_", 1): v for k, v in res.items()}
+
+    # quality proxy on one stream: decode it exactly and quantized.
+    # Random-init activations are quantization-hostile (no trained
+    # structure), so this is a conservative lower bound on real-weight
+    # w8a8 quality.
+    rt = OneDCRuntime(model, cal)
+    rt.update(force=True)
+    s, _ = rtq.encode(probe)
+    img_exact = np.asarray(rt.decode(stream=bytes(s)), np.float32)
+    img_q = np.asarray(rtq.decode(stream=bytes(s)), np.float32)
+    mse = float(np.mean((img_exact - img_q) ** 2))
+    out["lambda_w8a8_psnr_vs_bf16_db"] = round(
+        10 * float(np.log10(4.0 / max(mse, 1e-12))), 2)
+    return out
+
+
 def stage_ceiling():
     return bench_chip_ceiling()
 
@@ -195,6 +246,7 @@ STAGES = {
     "zonly_batch8": stage_zonly_batch8,
     "tinyvae": stage_tinyvae,
     "lambda_tinyvae": stage_lambda_tinyvae,
+    "lambda_w8a8": stage_lambda_w8a8,
     "ceiling": stage_ceiling,
 }
 

@@ -231,11 +231,18 @@ class OneDCRuntime:
     Images are NHWC jnp arrays in [-1, 1].
     """
 
-    def __init__(self, model: OneDC, params, dtype=None):
+    def __init__(self, model: OneDC, params, dtype=None,
+                 quant: Optional[str] = None):
         """``dtype=jnp.bfloat16`` casts params once for bf16 inference —
         the counterpart of the reference's bf16 autocast context
         (model_..._stage1.py:117). Compress and decompress run the same
-        program, so quantization decisions stay consistent."""
+        program, so quantization decisions stay consistent.
+
+        ``quant="w8a8"`` additionally runs the DECODE programs' quality
+        stages (UNet / VAE decoder / TinyVAE) as dynamic int8 on the MXU
+        (see ``onedc_tpu/nn/quant.py``). Encode and every entropy-
+        critical codec net stay exact, so bitstreams from a quantized
+        runtime decode identically on an unquantized one."""
         if dtype is not None:
             params = jax.tree_util.tree_map(
                 lambda x: x.astype(dtype)
@@ -260,17 +267,31 @@ class OneDCRuntime:
             codec_def, {"params": params["params"]["codec"]})
         self.ds = codec_def.ds
 
+        if quant not in (None, "w8a8"):
+            raise ValueError(f"unknown quant mode {quant!r}")
+        self.quant = quant
+
+        def _program(method):
+            if quant == "w8a8":
+                from ..nn.quant import w8a8_methods
+
+                def f(p, *a):
+                    with w8a8_methods():
+                        return model.apply(p, *a, method=method)
+            else:
+                def f(p, *a):
+                    return model.apply(p, *a, method=method)
+            return jax.jit(f)
+
+        # encode stays exact in every mode: quantization decisions on
+        # the entropy path must be identical across encoder and decoder
         self._encode_dev = jax.jit(lambda p, x: model.apply(
             p, x, method=model.encode_device))
-        self._decode_dev = jax.jit(lambda p, yh, zs: model.apply(
-            p, yh, zs, method=model.decode_device))
-        self._decode_z_only = jax.jit(lambda p, zi: model.apply(
-            p, zi, method=model.decode_device_z_only))
+        self._decode_dev = _program(model.decode_device)
+        self._decode_z_only = _program(model.decode_device_z_only)
         # staged halves for the pipelined serving path
-        self._decode_x0 = jax.jit(lambda p, yh, zs: model.apply(
-            p, yh, zs, method=model.decode_device_x0))
-        self._decode_vae = jax.jit(lambda p, x0: model.apply(
-            p, x0, method=model.decode_device_vae))
+        self._decode_x0 = _program(model.decode_device_x0)
+        self._decode_vae = _program(model.decode_device_vae)
 
     def update(self, force: bool = False):
         self._codec_rt.update(force)

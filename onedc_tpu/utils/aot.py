@@ -37,6 +37,22 @@ def _act_dtype(runtime):
     return runtime.dtype if runtime.dtype is not None else jnp.float32
 
 
+def _quality_program(runtime, method):
+    """jit a decode-quality-stage program honoring the runtime's quant
+    mode (OneDCRuntime(quant="w8a8") must export w8a8 artifacts, or the
+    served numbers silently diverge from the live runtime's). The
+    entropy-critical begin/update programs never go through here."""
+    model = runtime.model
+    if getattr(runtime, "quant", None) == "w8a8":
+        from ..nn.quant import w8a8_methods
+
+        def f(p, *a):
+            with w8a8_methods():
+                return model.apply(p, *a, method=method)
+        return jax.jit(f)
+    return jax.jit(lambda p, *a: model.apply(p, *a, method=method))
+
+
 def export_decode(runtime, height: int, width: int, batch: int = 1,
                   platforms: Optional[Sequence[str]] = None) -> bytes:
     """Serialize the fused decode program for a fixed serving shape.
@@ -52,8 +68,7 @@ def export_decode(runtime, height: int, width: int, batch: int = 1,
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
         runtime.params)
 
-    fn = jax.jit(lambda p, y, z: model.apply(
-        p, y, z, method=model.decode_device))
+    fn = _quality_program(runtime, model.decode_device)
     exp = jax_export.export(fn, platforms=platforms)(params, yh, zs)
     return bytes(exp.serialize())
 
@@ -70,8 +85,7 @@ def export_decode_z_only(runtime, height: int, width: int, batch: int = 1,
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
         runtime.params)
 
-    fn = jax.jit(lambda p, z: model.apply(
-        p, z, method=model.decode_device_z_only))
+    fn = _quality_program(runtime, model.decode_device_z_only)
     exp = jax_export.export(fn, platforms=platforms)(params, zi)
     return bytes(exp.serialize())
 
@@ -126,13 +140,11 @@ def export_serving_bundle(runtime, height: int, width: int, batch: int = 8,
             jax_export.export(step_fn, platforms=platforms)(
                 params_s, yqr, means, yhat, common).serialize())
 
-    x0_fn = jax.jit(lambda p, yh, zs: model.apply(
-        p, yh, zs, method=model.decode_device_x0))
+    x0_fn = _quality_program(runtime, model.decode_device_x0)
     arts["x0"] = bytes(jax_export.export(x0_fn, platforms=platforms)(
         params_s, yhat, zsem).serialize())
     x0_s = jax.eval_shape(x0_fn, params_s, yhat, zsem)
-    vae_fn = jax.jit(lambda p, x: model.apply(
-        p, x, method=model.decode_device_vae))
+    vae_fn = _quality_program(runtime, model.decode_device_vae)
     arts["vae"] = bytes(jax_export.export(vae_fn, platforms=platforms)(
         params_s, jax.ShapeDtypeStruct(x0_s.shape, x0_s.dtype)).serialize())
     arts["decode"] = export_decode(runtime, height, width, batch,
@@ -144,6 +156,7 @@ def export_serving_bundle(runtime, height: int, width: int, batch: int = 8,
         "z_fsq_levels": list(model.z_fsq_levels),
         "dtype": jnp.dtype(dt).name,
         "indexes_dtype": jnp.dtype(st["indexes_r"].dtype).name,
+        "quant": getattr(runtime, "quant", None),
     }
     return arts
 
