@@ -100,7 +100,11 @@ class Evaluator:
         self.model = build_model(cfg)
         self.params = load_params(self.model, cfg)
         dtype = jnp.bfloat16 if cfg.get("use_bf16", True) else None
-        self.runtime = OneDCRuntime(self.model, self.params, dtype=dtype)
+        # quant=w8a8 -> int8 decode quality stages (nn/quant.py); the
+        # stream side stays exact, so .bin files are interchangeable
+        # with exact runtimes
+        self.runtime = OneDCRuntime(self.model, self.params, dtype=dtype,
+                                    quant=cfg.get("quant"))
         self.runtime.update(force=True)  # CDF build (ref inference.py:72)
         self.out_dir = Path(cfg.get("output_path", "outputs/inference"))
         (self.out_dir / "bin").mkdir(parents=True, exist_ok=True)

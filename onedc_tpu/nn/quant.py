@@ -68,6 +68,24 @@ QUANT_PREFIXES: Tuple[Tuple[str, ...], ...] = (
 # A/B'd on hardware; read at trace time like ONEDC_UPSAMPLE_CONV.
 _Q8_UPSAMPLE = os.environ.get("ONEDC_Q8_UPSAMPLE", "1") != "0"
 
+# Roofline gate: dynamic int8 only pays where the op is MXU-bound.
+# Quantization adds ~1.5 extra activation passes of HBM traffic per op
+# (amax read + int8 write; the conv's own activation read halves, the
+# int32->f32 epilogue widens the write), while the MXU term shrinks by
+# the measured ~1.38x (probe_int8.py). A 3x3 conv's arithmetic
+# intensity is ~4.5*C flops per activation byte (C = min(Cin, Cout)),
+# so the win crosses zero at roughly C ~ 300 on a spec v5e
+# (197 TF/s / 819 GB/s) and higher on bandwidth-degraded sessions —
+# measured end-to-end on the 768px decode floor (ms/img B=8, one
+# session, stage-timed): ungated 67.3 / gate320 65.3 / gate512 62.3
+# vs bf16 63.6. gate512 cuts the UNet stage 4.5% (only >=512-ch convs
+# quantize) and ties the VAE; gate320 loses because this tunnel chip's
+# crossover sits at C~535 (probe ratio 78 TF/s / 201 GB/s). Default is
+# the measured-best-on-real-hardware 512; drop toward ~320 on
+# full-bandwidth chips. Ops narrower than the threshold on EITHER side
+# run exact bf16. Trace-time constant.
+_Q8_MIN_CH = int(os.environ.get("ONEDC_Q8_MIN_CH", "512"))
+
 
 def _in_scope(path: Tuple[str, ...]) -> bool:
     return any(path[:len(p)] == p for p in QUANT_PREFIXES)
@@ -186,6 +204,11 @@ def _w8a8_interceptor(next_fun, args, kwargs, context):
     if (context.method_name != "__call__" or mod is None
             or not _in_scope(tuple(mod.path))):
         return next_fun(*args, **kwargs)
+    feats = getattr(mod, "features", None)
+    x = args[0] if args else None
+    if (feats is None or x is None or not hasattr(x, "shape")
+            or x.ndim < 2 or min(x.shape[-1], feats) < _Q8_MIN_CH):
+        return next_fun(*args, **kwargs)  # below the roofline crossover
     if type(mod) is nn.Dense:
         return _dense_w8a8(mod, args[0])
     if type(mod) is nn.Conv:

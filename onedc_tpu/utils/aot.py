@@ -207,7 +207,8 @@ def main(argv=None):
 
     from ..models.onedc import OneDCRuntime
     dtype = jnp.bfloat16 if cfg.get("use_bf16", True) else None
-    rt = OneDCRuntime(model, params, dtype=dtype)
+    # quant=w8a8 exports int8 quality-stage artifacts (meta records it)
+    rt = OneDCRuntime(model, params, dtype=dtype, quant=cfg.get("quant"))
     platforms = args.platforms.split(",") if args.platforms else None
 
     arts = export_serving_bundle(rt, h, w, batch=b, platforms=platforms)

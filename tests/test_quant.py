@@ -12,8 +12,17 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import onedc_tpu.nn.quant as quant
 from onedc_tpu.models.onedc import OneDC, OneDCRuntime
 from onedc_tpu.nn.quant import _quantize, w8a8_methods
+
+
+@pytest.fixture(autouse=True)
+def _q8_all_channels(monkeypatch):
+    """The tiny test configs (32-64 ch) sit below the production
+    roofline gate (_Q8_MIN_CH), which would silently turn every test
+    into exact bf16; drop the gate so the int8 path is exercised."""
+    monkeypatch.setattr(quant, "_Q8_MIN_CH", 0)
 
 TINY = dict(
     internal_ch=64, bottleneck_ch=32, unet_ch_config=(32, 64, 64),
@@ -184,6 +193,41 @@ def test_w8a8_aot_export_carries_quant(tmp_path):
     want_exact = np.asarray(rt._decode_dev(rtq.params, y_hat, zs),
                             np.float32)
     assert float(np.max(np.abs(want - want_exact))) > 1e-4
+
+
+def test_roofline_gate_skips_narrow_ops(monkeypatch):
+    """Ops below _Q8_MIN_CH on either side must run exact bf16: the
+    measured end-to-end loss of ungated w8a8 came from bandwidth-bound
+    narrow convs (device floor 67.3 vs 63.6 ms/img on the same chip
+    session)."""
+    import flax.linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.Conv(64, (3, 3), padding=1, name="narrow")(x)
+            return nn.Conv(320, (3, 3), padding=1, name="wide")(h)
+
+    m = M()
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 320))
+    p = m.init(jax.random.PRNGKey(1), x)
+    monkeypatch.setattr(quant, "QUANT_PREFIXES", ((),))
+    monkeypatch.setattr(quant, "_Q8_MIN_CH", 320)
+
+    def lower():
+        # fresh closure per lowering: JAX's trace cache keys on the
+        # callable's identity, so reusing one function object would
+        # silently return the FIRST gate setting's program
+        def quant_apply(p, x):
+            with w8a8_methods():
+                return m.apply(p, x)
+        return jax.jit(quant_apply).lower(p, x).as_text()
+
+    # both convs are narrow on one side (320->64, 64->320): at gate 320
+    # neither quantizes
+    assert "i8" not in lower()
+    monkeypatch.setattr(quant, "_Q8_MIN_CH", 64)
+    assert "i8" in lower()
 
 
 def test_unknown_quant_mode_rejected():
