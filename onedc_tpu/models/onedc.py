@@ -272,14 +272,10 @@ class OneDCRuntime:
         self.quant = quant
 
         def _program(method):
-            if quant == "w8a8":
-                from ..nn.quant import w8a8_methods
+            from ..nn.quant import quant_methods
 
-                def f(p, *a):
-                    with w8a8_methods():
-                        return model.apply(p, *a, method=method)
-            else:
-                def f(p, *a):
+            def f(p, *a):
+                with quant_methods(quant):
                     return model.apply(p, *a, method=method)
             return jax.jit(f)
 

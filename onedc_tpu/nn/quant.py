@@ -239,3 +239,16 @@ def w8a8_methods():
                 return model.apply(p, *a, method=...)
     """
     return nn.intercept_methods(_w8a8_interceptor)
+
+
+def quant_methods(quant: Optional[str]):
+    """``w8a8_methods()`` for ``quant="w8a8"``, a no-op context for
+    ``None`` — for code that re-jits a runtime's decode programs
+    (parallel/spatial.py, utils/aot.py) and must preserve its quant
+    mode instead of silently reverting to exact."""
+    if quant is None:
+        import contextlib
+        return contextlib.nullcontext()
+    if quant == "w8a8":
+        return w8a8_methods()
+    raise ValueError(f"unknown quant mode {quant!r}")

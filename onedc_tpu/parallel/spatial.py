@@ -60,19 +60,24 @@ def spatial_anchor(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(P.UNCONSTRAINED, TENSOR_AXIS))
 
 
-def _anchored(model, method_name: str, act: NamedSharding, n_in: int):
+def _anchored(model, method_name: str, act: NamedSharding, n_in: int,
+              quant=None):
     """jit of ``model.apply(..., method=<method_name>)`` with sharding
     anchors on the first ``n_in`` array inputs and on the output image.
 
     Anchoring only the LARGE activations (and letting GSPMD propagate to
     the small ones, e.g. z_semantic at H/64, which may have fewer rows
-    than mesh shards) keeps the anchors legal at any image size."""
+    than mesh shards) keeps the anchors legal at any image size.
+    ``quant`` preserves the runtime's quantization mode — re-jitting
+    must not silently revert a w8a8 runtime to exact."""
+    from ..nn.quant import quant_methods
 
     def f(p, *xs):
         xs = tuple(
             jax.lax.with_sharding_constraint(x, act) if i < n_in else x
             for i, x in enumerate(xs))
-        out = model.apply(p, *xs, method=method_name)
+        with quant_methods(quant):
+            out = model.apply(p, *xs, method=method_name)
         return jax.lax.with_sharding_constraint(out, act)
 
     return jax.jit(f)
@@ -90,15 +95,19 @@ def enable_spatial_decode(rt, mesh: Mesh):
     """
     model = rt.model
     act = spatial_anchor(mesh)
+    q = getattr(rt, "quant", None)
     # y_hat + z_semantic -> image (full fused decode); only y_hat (H/16)
     # is anchored — z_semantic's H/64 grid can be smaller than the axis
-    rt._decode_dev = _anchored(model, "decode_device", act, n_in=1)
+    rt._decode_dev = _anchored(model, "decode_device", act, n_in=1,
+                               quant=q)
     # staged halves used by the pipelined serving path
-    rt._decode_x0 = _anchored(model, "decode_device_x0", act, n_in=1)
-    rt._decode_vae = _anchored(model, "decode_device_vae", act, n_in=1)
+    rt._decode_x0 = _anchored(model, "decode_device_x0", act, n_in=1,
+                              quant=q)
+    rt._decode_vae = _anchored(model, "decode_device_vae", act, n_in=1,
+                               quant=q)
     # z-only variant: z_indices are (B, H/64, W/64) ints — tiny; leave
     # their placement to propagation and anchor only the output.
     rt._decode_z_only = _anchored(model, "decode_device_z_only", act,
-                                  n_in=0)
+                                  n_in=0, quant=q)
     rt.spatial_mesh = mesh
     return rt

@@ -42,15 +42,15 @@ def _quality_program(runtime, method):
     mode (OneDCRuntime(quant="w8a8") must export w8a8 artifacts, or the
     served numbers silently diverge from the live runtime's). The
     entropy-critical begin/update programs never go through here."""
-    model = runtime.model
-    if getattr(runtime, "quant", None) == "w8a8":
-        from ..nn.quant import w8a8_methods
+    from ..nn.quant import quant_methods
 
-        def f(p, *a):
-            with w8a8_methods():
-                return model.apply(p, *a, method=method)
-        return jax.jit(f)
-    return jax.jit(lambda p, *a: model.apply(p, *a, method=method))
+    model = runtime.model
+    q = getattr(runtime, "quant", None)
+
+    def f(p, *a):
+        with quant_methods(q):
+            return model.apply(p, *a, method=method)
+    return jax.jit(f)
 
 
 def export_decode(runtime, height: int, width: int, batch: int = 1,

@@ -230,6 +230,22 @@ def test_roofline_gate_skips_narrow_ops(monkeypatch):
     assert "i8" in lower()
 
 
+def test_spatial_decode_preserves_quant():
+    """enable_spatial_decode re-jits the decode programs; a w8a8
+    runtime must come out still quantized (and an exact one exact) —
+    re-jitting must not silently flip the serving numerics."""
+    from onedc_tpu.parallel.mesh import make_mesh
+    from onedc_tpu.parallel.spatial import enable_spatial_decode
+
+    model, rt, rtq = _tiny_runtimes()
+    mesh = make_mesh(data=2, tensor=4)
+    enable_spatial_decode(rtq, mesh)
+    enable_spatial_decode(rt, mesh)
+    x0 = jnp.zeros((1, 8, 8, model.vae_ch), jnp.bfloat16)
+    assert "i8" in rtq._decode_vae.lower(rtq.params, x0).as_text()
+    assert "xi8" not in rt._decode_vae.lower(rt.params, x0).as_text()
+
+
 def test_unknown_quant_mode_rejected():
     model = OneDC(**TINY)
     params = jax.jit(lambda x: model.init({"params": jax.random.PRNGKey(0)},
