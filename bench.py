@@ -98,11 +98,13 @@ def stage_lambda():
     res = bench_lambda_decode(rt)
     res["lambda_calib_scale"] = scale
 
-    # uncalibrated (random-init ~9.5 bpp) reference numbers on a smaller
-    # stream set: the host-rANS-saturated regime, for cross-round A/Bs
-    # against rounds 1-3
+    # uncalibrated (random-init ~9.5 bpp) reference numbers: the
+    # host-rANS-saturated regime, for cross-round A/Bs against rounds
+    # 1-3. SAME 48-stream count as the calibrated headline (VERDICT r4
+    # weak item 2: a 16-stream run inflates fill/drain and the two
+    # protocols stop being comparable).
     rt.set_params(params)
-    uncal = bench_lambda_decode(rt, n_streams=16, n_single=2)
+    uncal = bench_lambda_decode(rt, n_streams=48, n_single=2)
     res["lambda_uncalib_batch_decodes_per_sec"] = \
         uncal["lambda_batch_decodes_per_sec"]
     res["lambda_uncalib_stream_bpp_mean"] = uncal["lambda_stream_bpp_mean"]
@@ -151,38 +153,59 @@ def stage_tinyvae():
 
 
 def stage_lambda_tinyvae():
-    """Full lambda-family pipelined decode with the taesd TinyVAE decode
-    path (the reference's use_large_vae=False flag,
-    model_..._stage1.py:39-54): same bitstream, same host rANS + four
-    prior round trips, ~45 ms of large-VAE decode dropped."""
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    """Full lambda-family pipelined decode through the productized
+    TinyVAE serving mode (``OneDCRuntime(vae="tiny")`` — the reference's
+    use_large_vae=False flag, model_..._stage1.py:39-54): same CALIBRATED
+    bitstreams and pipelined path as the headline, ~45 ms of large-VAE
+    decode dropped. Reports throughput + its own device floor + a
+    PSNR/MS-SSIM proxy vs the large-VAE decode of the SAME stream
+    (random-init twin decoders — a relative-structure proxy only; the
+    true delta needs real taesd/SD-VAE weights, BASELINE.md gate)."""
+    import numpy as np
 
-    from onedc_tpu.models.onedc import OneDC, OneDCRuntime
+    from onedc_tpu.eval.metrics import ms_ssim
+    from onedc_tpu.models.onedc import OneDCRuntime, ensure_tiny_vae_params
+    from onedc_tpu.utils.calibrate import (
+        calibrate_stream_params,
+        pick_stream_scale,
+    )
 
-    model = OneDC(compute_dtype=jnp.bfloat16, use_large_vae=False)
-    key = jax.random.PRNGKey(0)
-    params = jax.jit(lambda x: model.init({"params": key}, x))(
-        jnp.zeros((1, 64, 64, 3), jnp.float32))
-    rt = OneDCRuntime(model, to_bf16(params))
-    rt.update(force=True)
+    model, params = _flagship()
+    # to_bf16 again: the grafted tiny-decoder subtree inits f32 and an
+    # f32 kernel would silently promote the whole TinyVAE stage
+    params = to_bf16(ensure_tiny_vae_params(model, params))
+    rtt = OneDCRuntime(model, params, vae="tiny")
+    rtt.update(force=True)
 
-    n_streams = 48
-    imgs = [jax.random.uniform(jax.random.fold_in(jax.random.PRNGKey(7), i),
-                               (1, SIZE, SIZE, 3), minval=-1, maxval=1)
-            for i in range(n_streams)]
-    streams = [bytes(s) for s, _ in rt.encode_many(imgs)]
+    probe = jax.random.uniform(jax.random.PRNGKey(11), (1, SIZE, SIZE, 3),
+                               minval=-1, maxval=1)
 
-    out = rt.decode_batch(streams[:16])  # warm/compile
-    jax.block_until_ready(out[0])
-    assert all(bool(jnp.all(jnp.isfinite(o))) for o in out), \
-        "tinyvae batched decode NaN"
+    def bpp_at(s):
+        rtt.set_params(calibrate_stream_params(params, s))
+        _, b = rtt.encode(probe)
+        return b["bpp_y"]
 
-    t0 = time.perf_counter()
-    outs = rt.decode_batch(streams)
-    jax.block_until_ready(outs[0])
-    t_batch = (time.perf_counter() - t0) / n_streams
-    return {"lambda_tinyvae_batch_decodes_per_sec": round(1.0 / t_batch, 3)}
+    scale, _ = pick_stream_scale(bpp_at)
+    cal = calibrate_stream_params(params, scale)
+    rtt.set_params(cal)
+    res = bench_lambda_decode(rtt)
+    out = {k.replace("lambda_", "lambda_tinyvae_", 1): v
+           for k, v in res.items()}
+
+    # same-stream quality proxy vs the large VAE (like w8a8's PSNR key):
+    # identical bitstream, identical codec+UNet stages — only the final
+    # VAE decode differs, so the delta isolates the TinyVAE swap
+    rtl = OneDCRuntime(model, cal, vae="large")
+    rtl.update(force=True)
+    s, _ = rtt.encode(probe)
+    img_tiny = np.asarray(rtt.decode(stream=bytes(s)), np.float32)
+    img_large = np.asarray(rtl.decode(stream=bytes(s)), np.float32)
+    mse = float(np.mean((img_tiny - img_large) ** 2))
+    out["lambda_tinyvae_psnr_vs_large_db"] = round(
+        10 * float(np.log10(4.0 / max(mse, 1e-12))), 2)
+    out["lambda_tinyvae_msssim_vs_large"] = round(float(ms_ssim(
+        img_tiny * 0.5 + 0.5, img_large * 0.5 + 0.5, data_range=1.0)), 4)
+    return out
 
 
 def stage_lambda_w8a8():
@@ -310,7 +333,7 @@ def main():
     }))
 
 
-REF_TF, REF_HBM = 100.0, 235.0     # healthiest measured tunnel session
+REF_TF, REF_HBM = 100.0, 241.0     # healthiest measured tunnel session
 SPEC_TF, SPEC_HBM = 197.0, 819.0   # TPU v5e datasheet
 
 
@@ -332,17 +355,21 @@ def projection_keys(headline: float, tf: float, hbm: float,
     probed above ~54% of spec MXU, so the 20/s target's natural
     habitat — a non-throttled v5e — is only reachable by projection).
     Each projection takes the LESS optimistic of the MXU and HBM
-    scalings."""
+    scalings. The reference point self-refreshes (VERDICT r4 weak item
+    1): when THIS session probes above the recorded healthiest
+    constants, the session's own probes become the reference, so the
+    'healthy' projection can never read below the measured number."""
     t_meas = 1e3 / headline                      # ms/img incl. host
     exposure = max(t_meas - floor_ms, 0.0)
-    scale = max(tf / REF_TF, hbm / REF_HBM)
+    ref_tf, ref_hbm = max(REF_TF, tf), max(REF_HBM, hbm)
+    scale = max(tf / ref_tf, hbm / ref_hbm)
     spec_scale = max(tf / SPEC_TF, hbm / SPEC_HBM)
     return {
         "lambda_projected_healthy_decodes_per_sec": round(
             1e3 / (floor_ms * scale + exposure), 2),
         "lambda_projected_spec_v5e_decodes_per_sec": round(
             1e3 / (floor_ms * spec_scale + exposure), 2),
-        "lambda_projection_ref_probes": [REF_TF, REF_HBM],
+        "lambda_projection_ref_probes": [ref_tf, ref_hbm],
         "lambda_pipeline_exposure_ms_per_img": round(exposure, 2),
     }
 
@@ -505,7 +532,10 @@ def _lambda_device_floor(rt, batch: int = 8, reps: int = 4):
 
     zi = jax.random.randint(jax.random.PRNGKey(5), (batch, zh, zw), 0, 16384)
     t_begin, st = timeit(lambda: crt._begin(crt.params, zi))
-    yqr = jnp.zeros(st["indexes_r"].shape, jnp.int16)
+    # int8 symbols: the dtype the calibrated serving path actually ships
+    # (serving/pipeline._narrow_symbols), so the floor times the same
+    # compiled update programs as the headline
+    yqr = jnp.zeros(st["indexes_r"].shape, jnp.int8)
     t_up = 0.0
     nxt = {"means": st["means"], "y_hat": st["y_hat"]}
     for s in range(4):

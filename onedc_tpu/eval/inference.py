@@ -102,9 +102,27 @@ class Evaluator:
         dtype = jnp.bfloat16 if cfg.get("use_bf16", True) else None
         # quant=w8a8 -> int8 decode quality stages (nn/quant.py); the
         # stream side stays exact, so .bin files are interchangeable
-        # with exact runtimes
+        # with exact runtimes. vae=tiny -> taesd decode path (the
+        # reference's use_large_vae=False); needs tiny_vae_ckpt= weights
+        # or it grafts a RANDOM-init tiny decoder (smoke/proxy only).
+        vae_mode = cfg.get("vae")
+        if vae_mode == "tiny":
+            from ..models.onedc import ensure_tiny_vae_params
+            tiny_ckpt = cfg.get("tiny_vae_ckpt")
+            if tiny_ckpt:
+                from ..utils.checkpoint import load_safetensors
+                sub = load_safetensors(tiny_ckpt)
+                p = dict(self.params)
+                p["params"] = dict(self.params["params"])
+                p["params"]["vae_tiny_dec"] = sub.get("params", sub)
+                self.params = p
+            else:
+                log.warning("vae=tiny without tiny_vae_ckpt=: TinyVAE "
+                            "decoder is RANDOM INIT (smoke mode)")
+                self.params = ensure_tiny_vae_params(self.model,
+                                                     self.params)
         self.runtime = OneDCRuntime(self.model, self.params, dtype=dtype,
-                                    quant=cfg.get("quant"))
+                                    quant=cfg.get("quant"), vae=vae_mode)
         self.runtime.update(force=True)  # CDF build (ref inference.py:72)
         self.out_dir = Path(cfg.get("output_path", "outputs/inference"))
         (self.out_dir / "bin").mkdir(parents=True, exist_ok=True)

@@ -232,7 +232,7 @@ class OneDCRuntime:
     """
 
     def __init__(self, model: OneDC, params, dtype=None,
-                 quant: Optional[str] = None):
+                 quant: Optional[str] = None, vae: Optional[str] = None):
         """``dtype=jnp.bfloat16`` casts params once for bf16 inference —
         the counterpart of the reference's bf16 autocast context
         (model_..._stage1.py:117). Compress and decompress run the same
@@ -242,7 +242,23 @@ class OneDCRuntime:
         stages (UNet / VAE decoder / TinyVAE) as dynamic int8 on the MXU
         (see ``onedc_tpu/nn/quant.py``). Encode and every entropy-
         critical codec net stay exact, so bitstreams from a quantized
-        runtime decode identically on an unquantized one."""
+        runtime decode identically on an unquantized one.
+
+        ``vae="tiny"`` decodes through the taesd TinyVAE (the
+        reference's ``use_large_vae=False``, model_..._stage1.py:39-54)
+        while ENCODE stays on the large VAE encoder — a first-class
+        serving mode like w8a8 (composes with it; carried by the AOT
+        bundle). ``params`` must contain the ``vae_tiny_dec`` subtree —
+        graft one with ``ensure_tiny_vae_params``. ``vae="large"``
+        forces the large decoder; None keeps the model's flag."""
+        if vae not in (None, "large", "tiny"):
+            raise ValueError(f"unknown vae mode {vae!r}")
+        if vae is not None and model.use_large_vae != (vae == "large"):
+            model = model.clone(use_large_vae=(vae == "large"))
+        if not model.use_large_vae:
+            assert "vae_tiny_dec" in params["params"], (
+                "vae='tiny' needs vae_tiny_dec params — see "
+                "ensure_tiny_vae_params")
         if dtype is not None:
             params = jax.tree_util.tree_map(
                 lambda x: x.astype(dtype)
@@ -543,4 +559,26 @@ class OneDCRuntime:
             programs, rt.make_stream_coders,
             lambda b: rt.fsq.unpack_indices(b, zh * zw),
             decs, zh, zw, mult=mult, put=put, chunk=chunk)
+
+
+def ensure_tiny_vae_params(model: OneDC, params, rng=None):
+    """Return ``params`` with a ``vae_tiny_dec`` subtree grafted in.
+
+    The TinyVAE decoder's weights are an external artifact (taesd —
+    ref model_..._stage1.py:46-49 loads them from_pretrained); a
+    checkpoint trained with ``use_large_vae=True`` has no such subtree.
+    Pass ported taesd weights as ``rng=None`` is fine once they're in
+    the tree; otherwise this initializes a fresh decoder (random init —
+    bench/proxy use only). Idempotent; never mutates the input tree."""
+    if "vae_tiny_dec" in params["params"]:
+        return params
+    from ..nn.vae import TinyVaeDecoder
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    tv = TinyVaeDecoder(ch=model.tiny_vae_ch)
+    vp = tv.init(rng, jnp.zeros((1, 8, 8, model.vae_ch),
+                                model.compute_dtype or jnp.float32))
+    new = dict(params)
+    new["params"] = dict(params["params"])
+    new["params"]["vae_tiny_dec"] = vp["params"]
+    return new
 

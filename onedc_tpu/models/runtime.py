@@ -85,45 +85,15 @@ class CodecRuntime:
                       caption: str = "") -> Tuple[bytes, Dict[str, float]]:
         """Host half of encode: rANS-code the write plan + frame the
         container. ``caption`` rides the bitstream per the reference spec
-        (entropy/utils.py:95-105; used by stage-2 guidance)."""
+        (entropy/utils.py:95-105; used by stage-2 guidance). The bridge
+        itself is shared with the model-code-free ServingEncoder
+        (serving/encoder.py:write_container) so the two cannot drift."""
+        from ..serving.encoder import write_container
+
         assert self.entropy_coder is not None, "call update() first"
-        self.entropy_coder.reset()
-        for step in range(4):
-            y_q = np.asarray(out["y_q_w"][step])
-            indexes = np.asarray(out["indexes_w"][step])
-            self.gaussian_coder.encode_with_indexes(y_q, indexes)
-        self.entropy_coder.flush()
-        bit_stream_y = self.entropy_coder.get_encoded_stream()
-        bit_stream_z = self.fsq.pack_indices(np.asarray(out["z_indices"]))
-
-        caption_bytes = caption.encode("utf-8") if caption else b""
-        total = encode_i(
-            pic_height=pic_height, pic_width=pic_width,
-            bit_stream_y=bit_stream_y, bit_stream_z=bit_stream_z,
-            bit_stream_caption=caption_bytes,
-            caption_length=len(caption_bytes))
-        if fp:
-            write_to_file(total, fp)
-            file_size = filesize(fp)
-        else:
-            file_size = 0.0
-
-        pixel_num = pic_height * pic_width
-        bits_y = len(bit_stream_y) * 8
-        bits_z = len(bit_stream_z) * 8
-        bits_caption = len(caption_bytes) * 8
-        bits_total = len(total) * 8
-        return total, {
-            "bits_y": bits_y,
-            "bits_z": bits_z,
-            "bits_caption": bits_caption,
-            "bits_total": bits_total,
-            "bpp_y": bits_y / pixel_num,
-            "bpp_z": bits_z / pixel_num,
-            "bpp_caption": bits_caption / pixel_num,
-            "bpp": bits_total / pixel_num,
-            "bpp_file": file_size * 8 / pixel_num,
-        }
+        return write_container(self.entropy_coder, self.gaussian_coder,
+                               self.fsq, out, pic_width, pic_height,
+                               fp=fp, caption=caption)
 
     def encode_z_only(self, z_indices, pic_width: int, pic_height: int,
                       fp=None, caption: str = ""
@@ -186,6 +156,8 @@ class CodecRuntime:
 
         Returns (y_hat, z_semantic).
         """
+        from ..serving.pipeline import _narrow_symbols
+
         n = len(coders)
         n_rows = z_indices.shape[0]
         assert n_rows >= n, (z_indices.shape, n)
@@ -199,8 +171,9 @@ class CodecRuntime:
 
         if n == 1 and n_rows == 1:
             for step in range(4):
-                y_q_r = coders[0].decode_stream_with_indexes(
-                    np.asarray(indexes_r))
+                y_q_r = _narrow_symbols(
+                    coders[0].decode_stream_with_indexes(
+                        np.asarray(indexes_r)))
                 nxt = self._update[step](self.params, jnp.asarray(y_q_r),
                                          means, y_hat, common)
                 y_hat, means = nxt["y_hat"], nxt["means"]
@@ -214,7 +187,7 @@ class CodecRuntime:
                     parts = np.concatenate(
                         [parts, np.zeros_like(idx[n:], dtype=parts.dtype)],
                         axis=0)
-                y_q_r = put(jnp.asarray(parts))
+                y_q_r = put(jnp.asarray(_narrow_symbols(parts)))
                 nxt = self._update[step](self.params, y_q_r, means,
                                          y_hat, common)
                 y_hat, means = nxt["y_hat"], nxt["means"]

@@ -68,10 +68,17 @@ class ServingDecoder:
         self.pad_w = int(self.meta["width"])
         self.fsq = FSQ(tuple(self.meta["z_fsq_levels"]))
         self._fns = {}
-        for name in _STAGES:
-            with open(os.path.join(bundle_dir, f"{name}.stablehlo"),
-                      "rb") as f:
+        # int8 update twins are optional (bundles exported before the
+        # symbol-narrowing round lack them; the decoder then pins the
+        # pipeline to int16 symbols)
+        opt = [f"update{s}_i8" for s in range(4)]
+        for name in list(_STAGES) + opt:
+            path = os.path.join(bundle_dir, f"{name}.stablehlo")
+            if name in opt and not os.path.exists(path):
+                continue
+            with open(path, "rb") as f:
                 self._fns[name] = load_exported(f.read())
+        self._has_i8 = all(n in self._fns for n in opt)
 
         if isinstance(weights, (str, os.PathLike)):
             weights = load_safetensors(weights)
@@ -92,11 +99,19 @@ class ServingDecoder:
     def _programs(self) -> DecodePrograms:
         p = self.params
         f = self._fns
+
+        def step(yq, m, yh, c, _s):
+            # the exported signature is fixed per artifact; pick the
+            # int8 twin when the pipeline narrowed this chunk's symbols
+            name = (f"update{_s}_i8" if jnp.asarray(yq).dtype == jnp.int8
+                    else f"update{_s}")
+            return f[name](p, yq, m, yh, c)
+
         return DecodePrograms(
             begin=lambda zi: f["begin"](p, zi),
             update=[
-                (lambda yq, m, yh, c, _s=s: f[f"update{_s}"](
-                    p, yq, m, yh, c)) for s in range(4)],
+                (lambda yq, m, yh, c, _s=s: step(yq, m, yh, c, _s))
+                for s in range(4)],
             x0=lambda yh, zs: f["x0"](p, yh, zs),
             vae=lambda x0: f["vae"](p, x0),
         )
@@ -120,7 +135,9 @@ class ServingDecoder:
             lambda b: self.fsq.unpack_indices(b, zh * zw),
             decs, zh, zw,
             # fixed exported batch: every chunk pads up to it
-            mult=self.batch, chunk=self.batch, vae_chunk=self.batch)
+            mult=self.batch, chunk=self.batch, vae_chunk=self.batch,
+            # bundles without int8 update twins pin symbols to int16
+            **({} if self._has_i8 else {"narrow": lambda parts: parts}))
 
         out = []
         for i, d in enumerate(decs):

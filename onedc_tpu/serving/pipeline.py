@@ -55,12 +55,31 @@ def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
     return arr
 
 
+def _narrow_symbols(parts: np.ndarray) -> np.ndarray:
+    """Ship decoded rANS symbols as int8 when they fit.
+
+    Trained lambda-family streams concentrate on tiny symbols ({0,+-1,+-2}
+    at the shipped bpp band — VERDICT r4 weak item 3), so the int16 the
+    native coder emits wastes half of THE hot host->device upload of the
+    serial four-part loop. The update programs cast to the compute dtype
+    either way (models/codec.py:decompress_update), so each dtype is just
+    one more cached jit signature; rare big-symbol chunks (e.g. the
+    uncalibrated 9.5 bpp A/B streams) keep the exact int16 path.
+    ONEDC_SYMBOL_I8=0 restores int16-always for A/Bs."""
+    if os.environ.get("ONEDC_SYMBOL_I8", "1") != "0" \
+            and parts.dtype == np.int16 \
+            and parts.min() >= -128 and parts.max() <= 127:
+        return parts.astype(np.int8)
+    return parts
+
+
 def pipelined_decode(programs: DecodePrograms, make_coders, unpack_z,
                      decs, zh: int, zw: int, *, mult: int = 1,
                      put: Optional[Callable] = None,
                      chunk: Optional[int] = None,
                      depth: Optional[int] = None,
-                     vae_chunk: Optional[int] = None):
+                     vae_chunk: Optional[int] = None,
+                     narrow: Callable = _narrow_symbols):
     """Decode one same-padded-size bucket of containers, pipelined.
 
     ``decs``: framing dicts (entropy/framing.decode_i) with
@@ -91,8 +110,8 @@ def pipelined_decode(programs: DecodePrograms, make_coders, unpack_z,
     if vae_chunk is None:
         vae_chunk = max(1, int(os.environ.get("ONEDC_VAE_CHUNK", "8")))
     if put is None:
-        def put(a):
-            return a
+        import jax
+        put = jax.device_put
 
     chunks = [decs[i:i + chunk] for i in range(0, len(decs), chunk)]
 
@@ -158,7 +177,7 @@ def pipelined_decode(programs: DecodePrograms, make_coders, unpack_z,
                     parts = np.concatenate(
                         [parts, np.zeros_like(idx[sm.n:],
                                               dtype=parts.dtype)])
-                return parts
+                return put(narrow(parts))
 
             sm.fut = sm.workers.submit(work)
 
@@ -167,8 +186,8 @@ def pipelined_decode(programs: DecodePrograms, make_coders, unpack_z,
 
         def advance(sm):
             """Run one prior step; True while more steps remain."""
-            parts = sm.fut.result()
-            nxt = programs.update[sm.step](put(jnp.asarray(parts)),
+            parts = sm.fut.result()  # already on device (worker put it)
+            nxt = programs.update[sm.step](parts,
                                            sm.means, sm.y_hat, sm.common)
             sm.y_hat, sm.means = nxt["y_hat"], nxt["means"]
             sm.step += 1

@@ -73,6 +73,26 @@ def export_decode(runtime, height: int, width: int, batch: int = 1,
     return bytes(exp.serialize())
 
 
+def export_encode(runtime, height: int, width: int, batch: int = 1,
+                  platforms: Optional[Sequence[str]] = None) -> bytes:
+    """Serialize the fused device half of ENCODE (VAE cond + codec
+    compress -> rANS write plan; ``models/onedc.py:encode_device``) for
+    a fixed padded shape. Encode is exact in every quant mode (the
+    entropy path must be bit-identical across runtimes), so this never
+    goes through the quantized program builder. Pairs with the host
+    bridge in ``serving/encoder.py:ServingEncoder``."""
+    model = runtime.model
+    assert height % 64 == 0 and width % 64 == 0, "export padded sizes"
+    img = jax.ShapeDtypeStruct((batch, height, width, 3),
+                               _act_dtype(runtime))
+    params = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        runtime.params)
+    fn = jax.jit(lambda p, x: model.apply(p, x, method=model.encode_device))
+    exp = jax_export.export(fn, platforms=platforms)(params, img)
+    return bytes(exp.serialize())
+
+
 def export_decode_z_only(runtime, height: int, width: int, batch: int = 1,
                          platforms: Optional[Sequence[str]] = None
                          ) -> bytes:
@@ -104,11 +124,13 @@ def export_serving_bundle(runtime, height: int, width: int, batch: int = 8,
                           platforms: Optional[Sequence[str]] = None
                           ) -> dict:
     """Export the STAGED decode programs the pipelined serving schedule
-    dispatches (serving/pipeline.py): begin, update0..3, x0, vae — plus
-    the fused single-program decode. A serving process pairs these with
-    the host rANS loop (``serving/decoder.py:ServingDecoder``) and runs
-    the full λ decode_batch with no model code. Returns
-    {name: bytes} plus a "meta" dict (shapes + host-loop constants)."""
+    dispatches (serving/pipeline.py): begin, update0..3 (int16 + int8
+    symbol signatures), x0, vae — plus the fused single-program decode
+    AND the encode device half. A serving process pairs these with the
+    host rANS loop (``serving/decoder.py:ServingDecoder`` for decode,
+    ``serving/encoder.py:ServingEncoder`` for encode) and runs the full
+    λ path with no model code. Returns {name: bytes} plus a "meta" dict
+    (shapes + host-loop constants)."""
     model = runtime.model
     assert height % 64 == 0 and width % 64 == 0, "export padded sizes"
     dt = _act_dtype(runtime)
@@ -121,9 +143,12 @@ def export_serving_bundle(runtime, height: int, width: int, batch: int = 8,
     begin_fn = jax.jit(lambda p, z: model.apply(
         p, z, method=model.codec_decompress_begin))
     st = jax.eval_shape(begin_fn, params_s, zi)
-    # rANS symbols ship to the device as int16 (ops/rans.py decode
-    # outputs; the live jit path traces on that dtype too)
+    # rANS symbols arrive int16 (the native coder's dtype) OR int8 (the
+    # serving pipeline narrows chunks whose symbols fit — the common case
+    # on trained streams; serving/pipeline._narrow_symbols). Export BOTH
+    # signatures per step so the artifact path matches the live runtime.
     yqr = jax.ShapeDtypeStruct(st["indexes_r"].shape, jnp.int16)
+    yqr8 = jax.ShapeDtypeStruct(st["indexes_r"].shape, jnp.int8)
     means = jax.ShapeDtypeStruct(st["means"].shape, st["means"].dtype)
     yhat = jax.ShapeDtypeStruct(st["y_hat"].shape, st["y_hat"].dtype)
     common = jax.ShapeDtypeStruct(st["common"].shape, st["common"].dtype)
@@ -139,6 +164,9 @@ def export_serving_bundle(runtime, height: int, width: int, batch: int = 8,
         arts[f"update{s}"] = bytes(
             jax_export.export(step_fn, platforms=platforms)(
                 params_s, yqr, means, yhat, common).serialize())
+        arts[f"update{s}_i8"] = bytes(
+            jax_export.export(step_fn, platforms=platforms)(
+                params_s, yqr8, means, yhat, common).serialize())
 
     x0_fn = _quality_program(runtime, model.decode_device_x0)
     arts["x0"] = bytes(jax_export.export(x0_fn, platforms=platforms)(
@@ -149,6 +177,8 @@ def export_serving_bundle(runtime, height: int, width: int, batch: int = 8,
         params_s, jax.ShapeDtypeStruct(x0_s.shape, x0_s.dtype)).serialize())
     arts["decode"] = export_decode(runtime, height, width, batch,
                                    platforms)
+    arts["encode"] = export_encode(runtime, height, width, batch,
+                                   platforms)
 
     arts["meta"] = {
         "height": height, "width": width, "batch": batch,
@@ -156,7 +186,9 @@ def export_serving_bundle(runtime, height: int, width: int, batch: int = 8,
         "z_fsq_levels": list(model.z_fsq_levels),
         "dtype": jnp.dtype(dt).name,
         "indexes_dtype": jnp.dtype(st["indexes_r"].dtype).name,
+        "symbol_dtypes": ["int16", "int8"],
         "quant": getattr(runtime, "quant", None),
+        "vae": "large" if runtime.model.use_large_vae else "tiny",
     }
     return arts
 
@@ -205,10 +237,15 @@ def main(argv=None):
     model = build_model(cfg)
     params = load_params(model, cfg)
 
-    from ..models.onedc import OneDCRuntime
+    from ..models.onedc import OneDCRuntime, ensure_tiny_vae_params
     dtype = jnp.bfloat16 if cfg.get("use_bf16", True) else None
-    # quant=w8a8 exports int8 quality-stage artifacts (meta records it)
-    rt = OneDCRuntime(model, params, dtype=dtype, quant=cfg.get("quant"))
+    # quant=w8a8 exports int8 quality-stage artifacts; vae=tiny exports
+    # the taesd decode path (meta records both)
+    vae_mode = cfg.get("vae")
+    if vae_mode == "tiny":
+        params = ensure_tiny_vae_params(model, params)
+    rt = OneDCRuntime(model, params, dtype=dtype, quant=cfg.get("quant"),
+                      vae=vae_mode)
     platforms = args.platforms.split(",") if args.platforms else None
 
     arts = export_serving_bundle(rt, h, w, batch=b, platforms=platforms)

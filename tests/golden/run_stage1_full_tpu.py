@@ -41,7 +41,15 @@ def main():
                          "image's compile service at full size); "
                          "unrolled: jitted micro-grad + accumulate + "
                          "apply programs (each micro-batch sized)")
+    ap.add_argument("--probe", action="store_true",
+                    help="print the chip MXU/HBM probes first, so the "
+                         "imgs/s row lands in PARITY with its session "
+                         "health attached (VERDICT r4 next-step 7)")
     args = ap.parse_args()
+
+    if args.probe:
+        from bench import bench_chip_ceiling
+        print("probes:", bench_chip_ceiling())
 
     model = OneDC()  # flagship; training runs f32 params like the reference
     key = jax.random.PRNGKey(0)
