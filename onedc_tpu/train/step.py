@@ -236,12 +236,15 @@ def make_unrolled_accum_step(model, loss: Optional[RDLoss] = None,
                              remat: bool = False,
                              codeformer_loss_weight: float = 1e-3,
                              codeformer_mse_weight: float = 1e-2,
-                             grad_accum: int = 2) -> Callable:
+                             grad_accum: int = 2,
+                             micro_grads_dtype=None,
+                             accum_dtype=None,
+                             donate_state: bool = False) -> Callable:
     """Host-unrolled gradient accumulation: same math as
     ``make_train_step(grad_accum=N)`` (fold_in micro keys, mean grads,
-    mean scalar metrics) but as a SEQUENCE of jitted programs — one
-    micro-batch grad program, a donated-accumulator add, one apply —
-    instead of one scan-fused program.
+    mean scalar metrics) but as a SEQUENCE of jitted programs — a
+    micro-batch grad program that accumulates into a DONATED running
+    sum, and one apply — instead of one scan-fused program.
 
     Why it exists: every compiled program stays micro-batch sized. The
     scan-fused full-size (1.34B-param, remat) step is rejected outright
@@ -254,6 +257,28 @@ def make_unrolled_accum_step(model, loss: Optional[RDLoss] = None,
     accumulation (~54 ms per pass for 1.34B f32 grads at 200 GB/s) —
     small next to full-size micro-step time.
 
+    Memory: the accumulate is fused INTO the grad program with the
+    running sum donated, so per layer XLA adds the fresh grad leaf into
+    the accumulator's buffer as the backward produces it — the full
+    micro-grads tree is never live next to the running sum (an earlier
+    separate-accumulate design was: params + accumulator + whole
+    micro-grads tree = 3 x 5.4 GB f32 at flagship size, measured
+    RESOURCE_EXHAUSTED on the 16 GiB chip, round 5). With
+    ``donate_state=True`` the apply program also donates the state (old
+    + new params would otherwise be 2 x 5.4 GB live at once). Opt-in
+    because donation DELETES the caller's input buffers: safe when the
+    step exclusively owns its state (the trainer loop, the throughput
+    scripts), wrong when the same params tree seeds several states.
+
+    ``micro_grads_dtype`` (e.g. ``jnp.bfloat16``) rounds each
+    micro-grad to that dtype before it is added: the RUNNING SUM keeps
+    its own dtype, so each micro-grad is bf16-rounded exactly once
+    (~0.4% relative, non-compounding). ``accum_dtype`` (e.g.
+    ``jnp.bfloat16``) sets the RUNNING SUM dtype itself (None promotes
+    to f32); bf16 accumulation rounds at every add (~sqrt(N) x 0.4% at
+    accum N). Both exist to shrink the resident set on a 16 GiB chip;
+    multi-chip FSDP shards the accumulator and never needs them.
+
     Returns step(state, batch, rng) -> (state, metrics). NOT jittable
     as a whole; do not wrap in jax.jit.
     """
@@ -264,15 +289,40 @@ def make_unrolled_accum_step(model, loss: Optional[RDLoss] = None,
     loss_fn = _make_stage1_loss_fn(model, loss, remat,
                                    codeformer_loss_weight,
                                    codeformer_mse_weight)
-    grad_prog = jax.jit(
-        lambda p, opt_step, image, rng: jax.value_and_grad(
-            loss_fn, has_aux=True)(p, opt_step, image, rng))
-    cast_prog = jax.jit(lambda g: jax.tree.map(
-        lambda x: x.astype(jnp.promote_types(x.dtype, jnp.float32)), g))
-    # donate the running sum: the accumulator is updated in place, no
-    # second grads-sized buffer
-    acc_prog = jax.jit(lambda a, g: jax.tree.map(
-        lambda x, y: x + y.astype(x.dtype), a, g), donate_argnums=(0,))
+
+    def _cast_micro(g):
+        # one-time micro-grad rounding (see docstring); applied BEFORE
+        # the accumulator cast so fused and unfused paths share math
+        if micro_grads_dtype is not None:
+            g = jax.tree.map(lambda x: x.astype(micro_grads_dtype), g)
+        return g
+
+    def _to_acc(x):
+        return x.astype(accum_dtype if accum_dtype is not None
+                        else jnp.promote_types(x.dtype, jnp.float32))
+
+    # The accumulate is FUSED into the grad program (not a separate
+    # jitted add): per layer, XLA adds the fresh grad leaf into the
+    # DONATED accumulator leaf as it is produced, so the full
+    # micro-grads tree is never materialized alongside the running sum.
+    # At flagship size that removes a whole grads-sized buffer (2.7-5.4
+    # GB) from the peak live set — the difference between fitting and
+    # RESOURCE_EXHAUSTED on a 16 GiB chip.
+    def _grad0(p, opt_step, image, rng):
+        out, g = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, opt_step, image, rng)
+        g = jax.tree.map(_to_acc, _cast_micro(g))
+        return out, g
+
+    def _grad_acc(a, p, opt_step, image, rng):
+        out, g = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, opt_step, image, rng)
+        g = _cast_micro(g)
+        a = jax.tree.map(lambda acc, x: acc + x.astype(acc.dtype), a, g)
+        return out, a
+
+    grad0_prog = jax.jit(_grad0)
+    gradacc_prog = jax.jit(_grad_acc, donate_argnums=(0,))
 
     def finish(state, g_sum, m_sum):
         inv = 1.0 / grad_accum
@@ -283,7 +333,10 @@ def make_unrolled_accum_step(model, loss: Optional[RDLoss] = None,
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
-    fin_prog = jax.jit(finish, donate_argnums=(1,))
+    # donating the state keeps old + new params (2 x 5.4 GB at flagship
+    # size) from being live at once across the update
+    fin_prog = jax.jit(finish, donate_argnums=(0, 1) if donate_state
+                       else (1,))
 
     def step(state: TrainState, batch: Dict[str, Any], rng):
         image = batch["image"]
@@ -295,12 +348,13 @@ def make_unrolled_accum_step(model, loss: Optional[RDLoss] = None,
         g_sum = m_sum = None
         for i in range(grad_accum):
             key = jax.random.fold_in(rng, i)
-            (_, m), g = grad_prog(state.params, state.step,
-                                  image[i * micro:(i + 1) * micro], key)
+            sl = image[i * micro:(i + 1) * micro]
             if g_sum is None:
-                g_sum, m_sum = cast_prog(g), m
+                (_, m_sum), g_sum = grad0_prog(state.params, state.step,
+                                               sl, key)
             else:
-                g_sum = acc_prog(g_sum, g)
+                (_, m), g_sum = gradacc_prog(g_sum, state.params,
+                                             state.step, sl, key)
                 m_sum = jax.tree.map(jnp.add, m_sum, m)
         return fin_prog(state, g_sum, m_sum)
 

@@ -160,9 +160,12 @@ class Trainer:
         if (self.grad_accum > 1
                 and cfg.get("grad_accum_mode", "scan") == "unrolled"):
             from .step import make_unrolled_accum_step
+            # donate_state: the loop exclusively owns self.state (it is
+            # rebound every step), so the apply program may reuse the
+            # old params' buffers — see make_unrolled_accum_step
             self.step_fn = make_unrolled_accum_step(
                 self.model, self.loss, grad_accum=self.grad_accum,
-                **step_kwargs)
+                donate_state=True, **step_kwargs)
         else:
             self.step_fn = jax.jit(make_train_step(
                 self.model, self.loss, grad_accum=self.grad_accum,

@@ -41,6 +41,19 @@ def main():
                          "image's compile service at full size); "
                          "unrolled: jitted micro-grad + accumulate + "
                          "apply programs (each micro-batch sized)")
+    ap.add_argument("--micro-grads-dtype", choices=("f32", "bf16"),
+                    default="f32",
+                    help="unrolled mode only: round each micro-grad to "
+                         "bf16 before the (fused, donated) accumulate; "
+                         "with the f32 running sum this is the config "
+                         "measured to fit the 16 GiB chip at full size "
+                         "(accum 8 @ 512px: 6.22 s/step, round 5)")
+    ap.add_argument("--accum-dtype", choices=("f32", "bf16"),
+                    default="f32",
+                    help="unrolled mode only: dtype of the running sum "
+                         "(bf16 halves it again but rounds per add; "
+                         "not needed since the fused accumulate — f32 "
+                         "fits, measured round 5)")
     ap.add_argument("--probe", action="store_true",
                     help="print the chip MXU/HBM probes first, so the "
                          "imgs/s row lands in PARITY with its session "
@@ -67,7 +80,13 @@ def main():
         from onedc_tpu.train.step import make_unrolled_accum_step
         step_fn = make_unrolled_accum_step(
             model, RDLoss(lmbda=4.6), remat=True,
-            grad_accum=args.grad_accum)
+            grad_accum=args.grad_accum,
+            micro_grads_dtype=(jnp.bfloat16
+                               if args.micro_grads_dtype == "bf16"
+                               else None),
+            accum_dtype=(jnp.bfloat16
+                         if args.accum_dtype == "bf16" else None),
+            donate_state=True)
     else:
         step_fn = jax.jit(
             make_train_step(model, RDLoss(lmbda=4.6), remat=True,
@@ -93,7 +112,9 @@ def main():
             dt = (time.perf_counter() - t0) / args.reps
             assert np.isfinite(float(met["total_loss"]))
             print(f"B={b}: {dt:.3f} s/step -> {b/dt:.2f} imgs/s/chip "
-                  f"({r}px, Adafactor+remat, accum={args.grad_accum})")
+                  f"({r}px, Adafactor+remat, accum={args.grad_accum}, "
+                  f"micro_grads={args.micro_grads_dtype}, "
+                  f"accum_dtype={args.accum_dtype})")
         except Exception as e:  # OOM at some B is itself the datum
             print(f"B={b}: failed ({type(e).__name__}: {str(e)[:120]})")
             break

@@ -239,6 +239,57 @@ def test_unrolled_accum_exact():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-6, atol=1e-7)
 
+    # bf16 micro-grads (the 16 GiB-chip memory mode for the full-size
+    # effective-batch-8 step — with the fused accumulate this config
+    # runs 512px accum-8 at 6.22 s/step, measured round 5): each
+    # micro-grad is bf16-rounded once, the running sum stays f32, so
+    # grads differ from exact f32 by one bf16 quantum (~0.4% rel),
+    # NOT compounding with accum count.
+    s3 = create_train_state(model, params, warmup_steps=0)
+    bf16 = make_unrolled_accum_step(model, loss, grad_accum=2,
+                                    micro_grads_dtype=jnp.bfloat16)
+    s3, m3 = bf16(s3, {"image": img}, rng)
+    np.testing.assert_allclose(np.asarray(m3["total_loss"]),
+                               np.asarray(m2["total_loss"]),
+                               rtol=1e-5)  # loss is pre-cast: identical
+    gn2, gn3 = float(m2["grad_norm"]), float(m3["grad_norm"])
+    assert abs(gn3 - gn2) / gn2 < 2e-2, (gn2, gn3)
+    # params stay in the param dtype and move by ~the same update
+    for a, b in zip(jax.tree_util.tree_leaves(s2.params),
+                    jax.tree_util.tree_leaves(s3.params)):
+        assert a.dtype == b.dtype
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.15, atol=5e-3)
+
+    # bf16 running sum on top (a further memory fallback; the fused
+    # accumulate fits the flagship with the f32 sum — step.py): per-add
+    # rounding, error ~sqrt(N) x bf16 eps — a few percent at small N.
+    s4 = create_train_state(model, params, warmup_steps=0)
+    bf16a = make_unrolled_accum_step(model, loss, grad_accum=2,
+                                     micro_grads_dtype=jnp.bfloat16,
+                                     accum_dtype=jnp.bfloat16)
+    s4, m4 = bf16a(s4, {"image": img}, rng)
+    gn4 = float(m4["grad_norm"])
+    assert abs(gn4 - gn2) / gn2 < 5e-2, (gn2, gn4)
+    assert jax.tree_util.tree_leaves(s4.params)[0].dtype == \
+        jax.tree_util.tree_leaves(s2.params)[0].dtype
+
+    # donate_state=True (the trainer-loop / throughput-script config:
+    # the step exclusively owns its state): the apply program reuses
+    # the old params' buffers, so the input state is DELETED — two
+    # consecutive steps must run entirely off the returned state.
+    # Copied params: donation must not eat the tree shared by s1-s4.
+    s5 = create_train_state(model, jax.tree.map(jnp.copy, params),
+                            warmup_steps=0)
+    don = make_unrolled_accum_step(model, loss, grad_accum=2,
+                                   donate_state=True)
+    s5, m5 = don(s5, {"image": img}, rng)
+    np.testing.assert_allclose(np.asarray(m5["total_loss"]),
+                               np.asarray(m2["total_loss"]), rtol=1e-6)
+    s5, m5b = don(s5, {"image": img}, jax.random.fold_in(rng, 99))
+    assert np.isfinite(float(m5b["total_loss"]))
+    assert int(s5.step) == 2
+
 
 @pytest.mark.slow
 def test_trainer_grad_accum_step(tmp_path):
