@@ -40,9 +40,11 @@ N_LARGE = 10
 
 
 def to_bf16(tree):
-    return jax.tree_util.tree_map(
+    # one jitted program, not one astype dispatch per leaf (~10^3 leaves
+    # x ~ms of tunnel RPC each adds minutes of pure dispatch)
+    return jax.jit(lambda t: jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t))(tree)
 
 
 def _flagship():

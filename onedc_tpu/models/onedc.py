@@ -260,10 +260,12 @@ class OneDCRuntime:
                 "vae='tiny' needs vae_tiny_dec params — see "
                 "ensure_tiny_vae_params")
         if dtype is not None:
-            params = jax.tree_util.tree_map(
+            # one jitted program: an astype dispatch per leaf costs
+            # ~ms of RPC each on remote/1-core hosts (~10^3 leaves)
+            params = jax.jit(lambda t: jax.tree_util.tree_map(
                 lambda x: x.astype(dtype)
                 if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-                params)
+                t))(params)
             if model.compute_dtype != dtype:
                 model = model.clone(compute_dtype=dtype)
         self.model = model

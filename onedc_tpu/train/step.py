@@ -85,7 +85,13 @@ def create_train_state(model, params, lr: float = 5e-5,
     tx = make_masked_optimizer(
         params, make_optimizer(lr, warmup_steps, grad_clip,
                                optimizer=optimizer), frozen)
-    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    # jit the whole creation: un-jitted ``tx.init`` dispatches one tiny
+    # zeros op per optimizer-state leaf (~10^3 for the composite model),
+    # which costs minutes on dispatch-expensive hosts (1-core CPU oracle,
+    # remote-compile paths); one fused program is milliseconds. Nested
+    # jit is fine for callers already tracing.
+    return jax.jit(lambda p: TrainState.create(
+        apply_fn=model.apply, params=p, tx=tx))(params)
 
 
 def grad_accum_scan(grad_fn, params, inputs: Tuple, rng, accum: int,

@@ -93,6 +93,23 @@ def load_part_ckpts(params, cfg: Config, logger):
 class Trainer:
     def __init__(self, cfg: Config):
         self.cfg = cfg
+        # Validate the LPIPS decision BEFORE any model build: a config
+        # error must fail in milliseconds, not after minutes of init
+        # compiles (ref loss: src/losses/pixel_loss.py:51-89).
+        lpips_fn = None
+        if cfg.get("lpips_weights"):
+            from ..nn.lpips import make_lpips_fn
+            lpips_fn = make_lpips_fn(cfg.lpips_weights)
+        elif cfg.get("allow_no_lpips", False):
+            log.warning("training WITHOUT the LPIPS term (allow_no_lpips): "
+                        "this is a materially different objective than the "
+                        "reference L1+LPIPS+lambda*bpp loss")
+        else:
+            raise ValueError(
+                "no lpips_weights configured. The reference stage-1 loss is "
+                "L1 + LPIPS + lambda*bpp (src/losses/pixel_loss.py:51-89); "
+                "training without LPIPS silently changes the objective. "
+                "Set lpips_weights: <path> or allow_no_lpips: true.")
         self.mesh = make_mesh()
         self.model = OneDC(**dict(cfg.get("model", {})))
 
@@ -125,20 +142,6 @@ class Trainer:
         sched = cfg.get("lmbda_schedule",
                         dict(start_step=0, end_step=4000,
                              start_value=1e-4, end_value=lmbda))
-        lpips_fn = None
-        if cfg.get("lpips_weights"):
-            from ..nn.lpips import make_lpips_fn
-            lpips_fn = make_lpips_fn(cfg.lpips_weights)
-        elif cfg.get("allow_no_lpips", False):
-            log.warning("training WITHOUT the LPIPS term (allow_no_lpips): "
-                        "this is a materially different objective than the "
-                        "reference L1+LPIPS+lambda*bpp loss")
-        else:
-            raise ValueError(
-                "no lpips_weights configured. The reference stage-1 loss is "
-                "L1 + LPIPS + lambda*bpp (src/losses/pixel_loss.py:51-89); "
-                "training without LPIPS silently changes the objective. "
-                "Set lpips_weights: <path> or allow_no_lpips: true.")
         self.loss = RDLoss(
             pix_weight=float(cfg.get("pix_weight", 1.0)),
             lpips_weight=float(cfg.get("lpips_weight", 1.0)),

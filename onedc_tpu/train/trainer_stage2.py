@@ -49,14 +49,16 @@ def create_stage2_states(onedc: OneDC, onedc_params,
         onedc_params, make_optimizer(gen_lr, warmup_steps, grad_clip,
                                      optimizer=optimizer),
         ("vae", "codec"))
-    gen_state = TrainState.create(apply_fn=onedc.apply, params=onedc_params,
-                                  tx=gen_tx)
+    # jitted creation: see train/step.py:create_train_state (un-jitted
+    # tx.init is one dispatch per leaf — minutes on 1-core hosts)
+    gen_state = jax.jit(lambda p: TrainState.create(
+        apply_fn=onedc.apply, params=p, tx=gen_tx))(onedc_params)
     guid_tx = make_masked_optimizer(
         guidance_params, make_optimizer(guid_lr, warmup_steps, grad_clip,
                                         optimizer=optimizer),
         ("real_unet",))
-    guid_state = TrainState.create(apply_fn=guidance.apply,
-                                   params=guidance_params, tx=guid_tx)
+    guid_state = jax.jit(lambda p: TrainState.create(
+        apply_fn=guidance.apply, params=p, tx=guid_tx))(guidance_params)
     return gen_state, guid_state
 
 

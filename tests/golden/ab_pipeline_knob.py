@@ -1,17 +1,16 @@
-"""Same-session A/B of the int8 symbol upload (VERDICT r4 next-step 1c).
+"""Same-session A/B of one serving-pipeline env knob (generalizes
+ab_symbol_i8.py).
 
-Calibrated lambda-family streams decode to symbols in {0,+-1,+-2}, but
-the serving pipeline shipped them to the device as int16 (the native
-coder's dtype). ``serving/pipeline._narrow_symbols`` now ships int8 when
-the chunk fits and the worker thread issues the device_put (so the
-transfer overlaps other chunks' host work).
+The pipelined λ decode exposes its schedule knobs as env vars
+(serving/pipeline.py: ONEDC_PIPELINE_CHUNK / ONEDC_PIPELINE_DEPTH /
+ONEDC_VAE_CHUNK / ONEDC_SYMBOL_I8). Each measurement runs in its OWN
+subprocess (two compiled program sets in one process fragment the
+16 GiB HBM pool — same reason bench.py isolates stages), alternating
+A/B values so the shared tunnel's ±10-20% load drift cancels; compare
+the MEDIANS, not single reps.
 
-Each measurement runs in its OWN subprocess (both modes in one process
-OOM the 16 GiB chip — allocator fragmentation across the two compiled
-program sets; same reason bench.py isolates stages), alternating
-int16/int8 so the tunnel's +-10% load drift cancels:
-
-    PYTHONPATH=/root/repo:/root/.axon_site python tests/golden/ab_symbol_i8.py
+    PYTHONPATH=/root/repo:/root/.axon_site python \
+        tests/golden/ab_pipeline_knob.py ONEDC_VAE_CHUNK 8 4
 """
 
 import json
@@ -25,7 +24,7 @@ N_STREAMS = 48
 ROUNDS = 3  # alternating subprocess pairs
 
 
-def run_one(flag: str) -> dict:
+def run_one(var: str, value: str) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -38,7 +37,7 @@ def run_one(flag: str) -> dict:
         pick_stream_scale,
     )
 
-    os.environ["ONEDC_SYMBOL_I8"] = flag
+    os.environ[var] = value
 
     def to_bf16(tree):
         # one jitted program, not one astype dispatch per leaf
@@ -78,31 +77,33 @@ def run_one(flag: str) -> dict:
         outs = rt.decode_batch(streams)
         jax.block_until_ready(outs[0])
         vals.append(N_STREAMS / (time.perf_counter() - t0))
-    return {"flag": flag, "bpp_y": bpp, "decodes_per_sec": vals}
+    return {var: value, "bpp_y": bpp, "decodes_per_sec": vals}
 
 
 def main():
-    if len(sys.argv) > 2 and sys.argv[1] == "--flag":
-        print(json.dumps(run_one(sys.argv[2])))
+    if sys.argv[1] == "--one":
+        print(json.dumps(run_one(sys.argv[2], sys.argv[3])))
         return
 
-    results = {"0": [], "1": []}
+    var, a, b = sys.argv[1], sys.argv[2], sys.argv[3]
+    results = {a: [], b: []}
     for rnd in range(ROUNDS):
-        for flag in ("0", "1"):
+        for value in (a, b):
             r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--flag", flag],
+                [sys.executable, os.path.abspath(__file__),
+                 "--one", var, value],
                 capture_output=True, text=True, timeout=3000,
                 cwd="/root/repo")
             line = r.stdout.strip().splitlines()[-1]
             d = json.loads(line)
-            results[flag].extend(d["decodes_per_sec"])
-            print(f"round {rnd} i8={flag}: "
+            results[value].extend(d["decodes_per_sec"])
+            print(f"round {rnd} {var}={value}: "
                   + ", ".join(f"{v:.3f}" for v in d["decodes_per_sec"]),
                   flush=True)
-    for flag, label in (("0", "int16 baseline"), ("1", "int8 narrowed")):
-        vs = sorted(results[flag])
+    for value in (a, b):
+        vs = sorted(results[value])
         med = vs[len(vs) // 2]
-        print(f"{label}: median {med:.3f} decodes/s  (all: "
+        print(f"{var}={value}: median {med:.3f} decodes/s  (all: "
               + ", ".join(f"{v:.2f}" for v in vs) + ")")
 
 

@@ -36,9 +36,9 @@ SIZE = 768
 
 
 def to_bf16(tree):
-    return jax.tree_util.tree_map(
+    return jax.jit(lambda t: jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t))(tree)
 
 
 def main():

@@ -39,9 +39,9 @@ N_STREAMS = 6   # chunks of 4 + ragged 2 (exercises the pad path)
 
 
 def to_bf16(tree):
-    return jax.tree_util.tree_map(
+    return jax.jit(lambda t: jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t))(tree)
 
 
 def export_phase():

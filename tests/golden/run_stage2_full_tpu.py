@@ -32,9 +32,10 @@ def to_bf16_under(tree, subs):
     """Cast f32 params under the named top-level submodules to bf16
     (frozen weights: real_unet / vae / codec)."""
     def cast(sub):
-        return jax.tree_util.tree_map(
+        # one jitted program, not one astype dispatch per leaf
+        return jax.jit(lambda t: jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, sub)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t))(sub)
     p = dict(tree["params"])
     for s in subs:
         if s in p:

@@ -43,6 +43,15 @@ def _tiny_runtimes():
     return model, rt, rtq
 
 
+@pytest.fixture(scope="module")
+def tiny_rts():
+    """Shared exact/quantized runtime pair. Module-scoped: each runtime
+    carries its own jitted program set, which dominates wall time on
+    the 1-core CPU oracle. Tests that MUTATE a runtime's programs
+    (enable_spatial_decode) build their own via _tiny_runtimes()."""
+    return _tiny_runtimes()
+
+
 def test_quantize_roundtrip_error_bound():
     # symmetric int8: |x - q*s| <= s/2 elementwise, s = amax/127
     x = jax.random.normal(jax.random.PRNGKey(3), (64, 64), jnp.float32)
@@ -125,8 +134,8 @@ def test_w8a8_batch_invariance():
                                rtol=1e-6, atol=1e-6)
 
 
-def test_w8a8_decode_close_and_int8_in_program():
-    model, rt, rtq = _tiny_runtimes()
+def test_w8a8_decode_close_and_int8_in_program(tiny_rts):
+    model, rt, rtq = tiny_rts
     key = jax.random.PRNGKey(2)
     img = jax.random.uniform(key, (1, 64, 64, 3), minval=-1, maxval=1)
     s, _ = rt.encode(img)
@@ -151,10 +160,10 @@ def test_w8a8_decode_close_and_int8_in_program():
     assert "xi8" not in txt_exact
 
 
-def test_w8a8_encode_is_exact():
+def test_w8a8_encode_is_exact(tiny_rts):
     """Streams from a quantized runtime are byte-identical to the exact
     runtime's: encode and the entropy path never quantize."""
-    _, rt, rtq = _tiny_runtimes()
+    _, rt, rtq = tiny_rts
     img = jax.random.uniform(jax.random.PRNGKey(5), (1, 64, 64, 3),
                              minval=-1, maxval=1)
     s_exact, bpp_exact = rt.encode(img)
@@ -163,13 +172,13 @@ def test_w8a8_encode_is_exact():
     assert bpp_exact["bpp"] == bpp_q["bpp"]
 
 
-def test_w8a8_aot_export_carries_quant(tmp_path):
+def test_w8a8_aot_export_carries_quant(tmp_path, tiny_rts):
     """export_decode from a quantized runtime must serialize the
     QUANTIZED program (matches the live quantized decode, not the
     exact one)."""
     from onedc_tpu.utils.aot import export_decode, load_exported
 
-    model, rt, rtq = _tiny_runtimes()
+    model, rt, rtq = tiny_rts
     key = jax.random.PRNGKey(7)
     img = jax.random.uniform(key, (1, 64, 64, 3), minval=-1, maxval=1)
 
@@ -246,9 +255,7 @@ def test_spatial_decode_preserves_quant():
     assert "xi8" not in rt._decode_vae.lower(rt.params, x0).as_text()
 
 
-def test_unknown_quant_mode_rejected():
-    model = OneDC(**TINY)
-    params = jax.jit(lambda x: model.init({"params": jax.random.PRNGKey(0)},
-                                          x))(jnp.zeros((1, 64, 64, 3)))
+def test_unknown_quant_mode_rejected(tiny_rts):
+    model, rt, _ = tiny_rts
     with pytest.raises(ValueError):
-        OneDCRuntime(model, params, quant="w4a4")
+        OneDCRuntime(model, rt.params, quant="w4a4")

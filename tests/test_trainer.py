@@ -175,7 +175,43 @@ def test_grad_accum_scan_exact():
         grad_accum_scan(grad_fn, params, (x,), rng, accum=3)
 
 
-def test_unrolled_accum_exact():
+@pytest.fixture(scope="module")
+def unrolled_setup():
+    """Shared state for the unrolled-accum tests: tiny model + ONE
+    plain unrolled-accum step result. Module-scoped and fully jitted
+    (state creation included) because every make_unrolled_accum_step
+    variant compiles its own full program set and op-by-op dispatch
+    (un-jitted ``tx.init`` / ``apply_gradients`` over ~10^3 leaves) is
+    what dominated this file's wall time on the 1-core CPU oracle."""
+    import jax
+
+    from onedc_tpu.models.onedc import OneDC
+    from onedc_tpu.train.losses import RDLoss
+    from onedc_tpu.train.step import (
+        create_train_state,
+        make_unrolled_accum_step,
+    )
+
+    model = OneDC(**TINY_MODEL)
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (4, 64, 64, 3),
+                             minval=-1, maxval=1)
+    params = jax.jit(lambda x: model.init({"params": key}, x))(img[:1])
+    loss = RDLoss(lmbda=1.0, lpips_weight=0.0)
+
+    def jit_state(p):
+        return jax.jit(
+            lambda q: create_train_state(model, q, warmup_steps=0))(p)
+
+    rng = jax.random.PRNGKey(7)
+    s2 = jit_state(params)
+    unrolled = make_unrolled_accum_step(model, loss, grad_accum=2)
+    s2, m2 = unrolled(s2, {"image": img}, rng)
+    return dict(model=model, params=params, img=img, loss=loss, rng=rng,
+                jit_state=jit_state, s2=s2, m2=m2)
+
+
+def test_unrolled_accum_exact(unrolled_setup):
     """make_unrolled_accum_step (jitted micro-grad + donated accumulate
     + apply — the path for models whose scan-fused step exceeds the
     compile budget) == an explicit python loop over fold_in micro-keys
@@ -192,43 +228,36 @@ def test_unrolled_accum_exact():
     import jax.numpy as jnp
     import optax
 
-    from onedc_tpu.models.onedc import OneDC
-    from onedc_tpu.train.losses import RDLoss
-    from onedc_tpu.train.step import (
-        _make_stage1_loss_fn,
-        create_train_state,
-        make_unrolled_accum_step,
-    )
+    from onedc_tpu.train.step import _make_stage1_loss_fn
 
-    model = OneDC(**TINY_MODEL)
-    key = jax.random.PRNGKey(0)
-    img = jax.random.uniform(jax.random.PRNGKey(1), (4, 64, 64, 3),
-                             minval=-1, maxval=1)
-    params = jax.jit(lambda x: model.init({"params": key}, x))(img[:1])
-    loss = RDLoss(lmbda=1.0, lpips_weight=0.0)
+    su = unrolled_setup
+    model, img, rng = su["model"], su["img"], su["rng"]
+    s2, m2 = su["s2"], su["m2"]
+    s1 = su["jit_state"](su["params"])
 
-    s1 = create_train_state(model, params, warmup_steps=0)
-    s2 = create_train_state(model, params, warmup_steps=0)
-    rng = jax.random.PRNGKey(7)
-    unrolled = make_unrolled_accum_step(model, loss, grad_accum=2)
-    s2, m2 = unrolled(s2, {"image": img}, rng)
-
-    loss_fn = _make_stage1_loss_fn(model, loss, False, 1e-3, 1e-2)
-    grad_fn = jax.jit(lambda p, st, im, k: jax.value_and_grad(
-        loss_fn, has_aux=True)(p, st, im, k))
+    loss_fn = _make_stage1_loss_fn(model, su["loss"], False, 1e-3, 1e-2)
+    # f32-promote inside the jit: the oracle accumulates in f32 exactly
+    # as _to_acc does in the unrolled step
+    grad_fn = jax.jit(lambda p, st, im, k: jax.tree.map(
+        lambda x: x.astype(jnp.promote_types(x.dtype, jnp.float32)),
+        jax.value_and_grad(loss_fn, has_aux=True)(p, st, im, k)))
     gs, ms = [], []
     for i in range(2):
         k = jax.random.fold_in(rng, i)
         (_, m), g = grad_fn(s1.params, s1.step, img[i * 2:(i + 1) * 2], k)
-        gs.append(jax.tree.map(
-            lambda x: x.astype(jnp.promote_types(x.dtype, jnp.float32)),
-            g))
+        gs.append(g)
         ms.append(m)
-    grads = jax.tree.map(
-        lambda p, a, b: ((a + b) * 0.5).astype(p.dtype), s1.params, *gs)
-    m1 = jax.tree.map(lambda a, b: (a + b) * 0.5, *ms)
-    s1 = s1.apply_gradients(grads=grads)
-    m1["grad_norm"] = optax.global_norm(grads)
+
+    @jax.jit
+    def oracle_apply(state, g0, g1, m0, m1):
+        grads = jax.tree.map(
+            lambda p, a, b: ((a + b) * 0.5).astype(p.dtype),
+            state.params, g0, g1)
+        m = jax.tree.map(lambda a, b: (a + b) * 0.5, m0, m1)
+        m["grad_norm"] = optax.global_norm(grads)
+        return state.apply_gradients(grads=grads), m
+
+    s1, m1 = oracle_apply(s1, gs[0], gs[1], ms[0], ms[1])
 
     for k in m1:
         np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]),
@@ -239,13 +268,32 @@ def test_unrolled_accum_exact():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-6, atol=1e-7)
 
-    # bf16 micro-grads (the 16 GiB-chip memory mode for the full-size
-    # effective-batch-8 step — with the fused accumulate this config
-    # runs 512px accum-8 at 6.22 s/step, measured round 5): each
-    # micro-grad is bf16-rounded once, the running sum stays f32, so
-    # grads differ from exact f32 by one bf16 quantum (~0.4% rel),
-    # NOT compounding with accum count.
-    s3 = create_train_state(model, params, warmup_steps=0)
+
+@pytest.mark.slow
+@pytest.mark.filterwarnings(
+    # XLA:CPU cannot alias the donated accumulator buffers (donation is
+    # a device-backend feature); on TPU the donation is what makes the
+    # flagship fit — the warning is oracle-platform noise here.
+    "ignore:Some donated buffers were not usable")
+def test_unrolled_accum_memory_modes(unrolled_setup):
+    """The 16 GiB-chip memory modes of the unrolled accum step vs the
+    plain (f32, undonated) step from the shared fixture. slow: each
+    mode compiles its own full grad/accumulate/apply program set."""
+    import jax
+    import jax.numpy as jnp
+
+    from onedc_tpu.train.step import make_unrolled_accum_step
+
+    su = unrolled_setup
+    model, img, rng, loss = su["model"], su["img"], su["rng"], su["loss"]
+    params, s2, m2 = su["params"], su["s2"], su["m2"]
+
+    # bf16 micro-grads (the full-size effective-batch-8 config — with
+    # the fused accumulate this runs 512px accum-8 at 6.22 s/step,
+    # measured round 5): each micro-grad is bf16-rounded once, the
+    # running sum stays f32, so grads differ from exact f32 by one
+    # bf16 quantum (~0.4% rel), NOT compounding with accum count.
+    s3 = su["jit_state"](params)
     bf16 = make_unrolled_accum_step(model, loss, grad_accum=2,
                                     micro_grads_dtype=jnp.bfloat16)
     s3, m3 = bf16(s3, {"image": img}, rng)
@@ -264,7 +312,7 @@ def test_unrolled_accum_exact():
     # bf16 running sum on top (a further memory fallback; the fused
     # accumulate fits the flagship with the f32 sum — step.py): per-add
     # rounding, error ~sqrt(N) x bf16 eps — a few percent at small N.
-    s4 = create_train_state(model, params, warmup_steps=0)
+    s4 = su["jit_state"](params)
     bf16a = make_unrolled_accum_step(model, loss, grad_accum=2,
                                      micro_grads_dtype=jnp.bfloat16,
                                      accum_dtype=jnp.bfloat16)
@@ -278,9 +326,9 @@ def test_unrolled_accum_exact():
     # the step exclusively owns its state): the apply program reuses
     # the old params' buffers, so the input state is DELETED — two
     # consecutive steps must run entirely off the returned state.
-    # Copied params: donation must not eat the tree shared by s1-s4.
-    s5 = create_train_state(model, jax.tree.map(jnp.copy, params),
-                            warmup_steps=0)
+    # Copied params: donation must not eat the tree shared by the
+    # fixture's states.
+    s5 = su["jit_state"](jax.tree.map(jnp.copy, params))
     don = make_unrolled_accum_step(model, loss, grad_accum=2,
                                    donate_state=True)
     s5, m5 = don(s5, {"image": img}, rng)
