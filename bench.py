@@ -205,8 +205,10 @@ def stage_lambda_tinyvae():
     mse = float(np.mean((img_tiny - img_large) ** 2))
     out["lambda_tinyvae_psnr_vs_large_db"] = round(
         10 * float(np.log10(4.0 / max(mse, 1e-12))), 2)
-    out["lambda_tinyvae_msssim_vs_large"] = round(float(ms_ssim(
-        img_tiny * 0.5 + 0.5, img_large * 0.5 + 0.5, data_range=1.0)), 4)
+    # ms_ssim returns per-image values, shape (B,)
+    out["lambda_tinyvae_msssim_vs_large"] = round(float(np.mean(
+        np.asarray(ms_ssim(img_tiny * 0.5 + 0.5, img_large * 0.5 + 0.5,
+                           data_range=1.0)))), 4)
     return out
 
 

@@ -94,6 +94,10 @@ def main():
                  "--one", var, value],
                 capture_output=True, text=True, timeout=3000,
                 cwd="/root/repo")
+            if r.returncode != 0 or not r.stdout.strip():
+                raise RuntimeError(
+                    f"subprocess failed rc={r.returncode}:\n"
+                    + "\n".join((r.stderr or "").splitlines()[-10:]))
             line = r.stdout.strip().splitlines()[-1]
             d = json.loads(line)
             results[value].extend(d["decodes_per_sec"])
